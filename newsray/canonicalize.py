@@ -1,0 +1,75 @@
+"""URL canonicalization + validity (SURVEY.md §2.2 M4/M11).
+
+The reference canonicalizes in per-site ad-hoc ways (urljoin + drop
+query/params/fragment, ``//``-scheme fix, ``./``-relative and hostname-dot
+normalization for one aggregator site). Here it is ONE pure vectorizable
+stage producing ``canon_url`` + ``host`` — the engine's dedup and partition
+key — applied identically everywhere.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlparse, urlunparse
+
+_VALID_SCHEMES = ("http", "https")
+
+
+def is_valid_href(href: str | None) -> bool:
+    """Drop empty, javascript:, mailto:, fragment-only and other junk hrefs."""
+    if not href:
+        return False
+    h = href.strip()
+    if not h or h.startswith("#"):
+        return False
+    low = h.lower()
+    if low.startswith(("javascript:", "mailto:", "data:", "tel:")):
+        return False
+    return True
+
+
+def absolutize(href: str, base_url: str) -> str:
+    """Relative → absolute; protocol-relative ``//host/p`` → https."""
+    h = href.strip()
+    if h.startswith("//"):
+        h = "https:" + h
+    # aggregator quirk: './articles/x' and 'host./path' dot-forms
+    if h.startswith("./"):
+        h = h[1:]  # '/articles/x' — join against base below
+    h = h.replace(".test./", ".test/")
+    return urljoin(base_url, h)
+
+
+def canonicalize(href: str, base_url: str) -> tuple[str, str]:
+    """Return ``(canon_url, host)``: absolutized, scheme forced to https,
+    query/params/fragment stripped, trailing slash trimmed (except root)."""
+    absu = absolutize(href, base_url)
+    p = urlparse(absu)
+    scheme = "https" if p.scheme in _VALID_SCHEMES else p.scheme
+    path = p.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    host = p.netloc.lower()
+    canon = urlunparse((scheme, host, path, "", "", ""))
+    return canon, host
+
+
+def canonicalize_batch(
+    hrefs: list[str | None], base_urls: list[str]
+) -> tuple[list[bool], list[str], list[str]]:
+    """Batch form used inside ``map_batches`` (one Python pass per batch —
+    URL parsing is inherently per-string; the stage stays a stateless task)."""
+    valid: list[bool] = []
+    canon: list[str] = []
+    hosts: list[str] = []
+    for href, base in zip(hrefs, base_urls):
+        if not is_valid_href(href):
+            valid.append(False)
+            canon.append("")
+            hosts.append("")
+            continue
+        c, h = canonicalize(href, base)
+        ok = urlparse(c).scheme in _VALID_SCHEMES and bool(h)
+        valid.append(ok)
+        canon.append(c if ok else "")
+        hosts.append(h if ok else "")
+    return valid, canon, hosts

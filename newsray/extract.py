@@ -1,0 +1,164 @@
+"""Payload parsing + article/span assembly (SURVEY.md §2.2 M1-M3, M8-M10).
+
+The reference parses listing/detail HTML with per-site CSS selectors; here a
+compiled-regex extractor plays that role over the synthetic-web payloads
+(BeautifulSoup is not available in this sandbox and regex extraction is the
+faster scale path anyway). The *structure* is what matters: a listing page
+yields DOM-ordered items (href, title, optional time/img/lead), a detail
+page yields (title, time_raw, summary, img).
+
+The scalar builders at the bottom (``build_article``, ``article_spans``) are
+shared verbatim by the Ray pipeline and the sequential oracle, so the
+per-row span-sequence invariant ``(kind, text, media_ref, order)`` holds by
+construction wherever both paths accept the same article.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime
+
+from .canonicalize import absolutize
+from .datefns import day_group_label, iso, parse_cascade
+from .sites import SiteConfig
+
+_ITEM_RE = re.compile(
+    r'<li class="item"><a class="lnk" href="([^"]*)">(.*?)</a>(.*?)</li>', re.S
+)
+_TSTAMP_RE = re.compile(r'<span class="tstamp">(.*?)</span>', re.S)
+_THUMB_RE = re.compile(r'<img class="thumb" src="([^"]*)"')
+_LEAD_RE = re.compile(r'<p class="lead">(.*?)</p>', re.S)
+_HEADLINE_RE = re.compile(r'<h1 class="headline">(.*?)</h1>', re.S)
+_PUBLISHED_RE = re.compile(r'<span class="published">(.*?)</span>', re.S)
+_BODY_RE = re.compile(r'<div class="article-body"><p>(.*?)</p></div>', re.S)
+_OG_RE = re.compile(r'<img class="og" src="([^"]*)"')
+
+
+@dataclass
+class ListingItem:
+    dom_idx: int
+    href: str
+    title: str
+    time_raw: str | None = None
+    img: str | None = None
+    lead: str | None = None
+
+
+def decode_payload(payload: bytes, encoding: str) -> str:
+    """Encoding is data (one reference site is euc-kr, another sniffs)."""
+    try:
+        return payload.decode(encoding or "utf-8")
+    except (UnicodeDecodeError, LookupError):
+        return payload.decode("utf-8", errors="replace")
+
+
+def parse_listing(html: str) -> list[ListingItem]:
+    items: list[ListingItem] = []
+    for dom_idx, m in enumerate(_ITEM_RE.finditer(html)):
+        href, title, extras = m.group(1), m.group(2).strip(), m.group(3)
+        ts = _TSTAMP_RE.search(extras)
+        img = _THUMB_RE.search(extras)
+        lead = _LEAD_RE.search(extras)
+        items.append(
+            ListingItem(
+                dom_idx=dom_idx,
+                href=href,
+                title=title,
+                time_raw=ts.group(1).strip() if ts else None,
+                img=img.group(1) if img else None,
+                lead=lead.group(1).strip() if lead else None,
+            )
+        )
+    return items
+
+
+def parse_article(html: str) -> dict:
+    t = _HEADLINE_RE.search(html)
+    p = _PUBLISHED_RE.search(html)
+    b = _BODY_RE.search(html)
+    g = _OG_RE.search(html)
+    return {
+        "title": t.group(1).strip() if t else "",
+        "time_raw": p.group(1).strip() if p else None,
+        "summary": b.group(1).strip() if b else None,
+        "img": g.group(1) if g else "",
+    }
+
+
+# ---------------------------------------------------------------------------
+# shared scalar assembly (pipeline + oracle)
+# ---------------------------------------------------------------------------
+
+
+def finalize_article(
+    cfg: SiteConfig,
+    canon_url: str,
+    title: str,
+    time_raw: str | None,
+    summary: str | None,
+    img: str | None,
+    seq: int,
+    now: datetime,
+) -> dict | None:
+    """Time-parse (drop on failure), image absolutization, summary cleanup,
+    day-group label — the per-record tail every site shares. None = dropped."""
+    from .textfns import html_to_text
+
+    ts = parse_cascade(time_raw, cfg.time_formats, now)
+    if ts is None:
+        return None  # unparseable time → record dropped (reference behavior)
+    img_abs = ""
+    if img:
+        img_abs = absolutize(img, f"https://{cfg.host}/")
+    summ = html_to_text(summary) if (cfg.has_summary and summary) else None
+    return {
+        "site": cfg.site,
+        "title": title,
+        "time": ts,
+        "img": img_abs,
+        "url": canon_url,
+        "original_url": canon_url,
+        "summary": summ,
+        "date_group": day_group_label(ts, cfg.weekday_style),
+        "discovered_seq": seq,
+    }
+
+
+def article_spans(rec: dict, cfg: SiteConfig) -> list[dict]:
+    """Interleaved span sequence for the `documents` table. Order-significant;
+    absent fields DROP their span; ``offset`` = position after drops."""
+    spans: list[dict] = []
+
+    def add(kind: str, text: str, media_ref: str) -> None:
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": media_ref, "offset": len(spans)}
+        )
+
+    add("title", rec["title"], "")
+    add("time", iso(rec["time"]), "")
+    if cfg.has_summary and rec.get("summary"):
+        add("summary", rec["summary"], "")
+    if rec.get("img"):
+        add("image", "", rec["img"])
+    add("link", "", rec["url"])
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# discovery-order sequencing (SURVEY §2.9 / §7.5.1)
+# ---------------------------------------------------------------------------
+
+
+def make_seq(site_rank: int, depth: int, seed_rank: int, page_no: int, dom_idx: int) -> int:
+    """Deterministic total discovery order: site → depth → seed → page → DOM.
+    Packs into int64; crawl-order equality compares fetch logs sorted by it."""
+    assert 0 <= depth < 256 and 0 <= seed_rank < 4096 and 0 <= page_no < 4096
+    assert 0 <= dom_idx < (1 << 24) and 0 <= site_rank < 64
+    return (
+        (site_rank << 56)
+        | (depth << 48)
+        | (seed_rank << 36)
+        | (page_no << 24)
+        | dom_idx
+    )

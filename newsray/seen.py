@@ -1,0 +1,179 @@
+"""Sharded URL/title-seen set: cuckoo filter + exact backing store, held in
+an actor pool (SURVEY.md §2.3 T1/T2, §2.7 D1/D2, north_rule).
+
+The reference keeps one in-memory ``set[str]`` per crawler process, seeded by
+re-parsing its own output file. Here the seen-set is a first-class
+distributed structure: N shard actors, hash-partitioned by a STABLE hash of
+the key (blake2b — never Python ``hash()``, which is per-process salted).
+Each shard holds
+
+* a cuckoo filter (2-choice bucketed fingerprints, public Fan et al. 2014
+  design) — the fast membership path that at 10^10-URL scale is the only
+  structure that fits in RAM, and
+* an exact backing set — the checkpointed authority that resolves cuckoo
+  false positives, so the URL-seen *set equality* gate stays exact
+  (SURVEY §7.5.5). At design scale the exact layer is a spillable per-shard
+  store; at test scale a Python set.
+
+``check_and_insert`` is the batched RPC the dedup ``map_batches`` stage
+calls: one round-trip per (batch × shard), ≥1k keys per call.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import ray
+
+
+def stable_hash64(key: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(key.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def shard_of(key: str, n_shards: int) -> int:
+    return stable_hash64(key) % n_shards
+
+
+class CuckooFilter:
+    """Bucketed cuckoo filter: 16-bit fingerprints, bucket size 4, two
+    candidate buckets ``i`` and ``i ^ h(fp)``, bounded eviction chain.
+    No false negatives; false positives resolved by the exact backing set."""
+
+    def __init__(self, capacity: int, bucket_size: int = 4, max_kicks: int = 500):
+        n = 1
+        while n * bucket_size < capacity * 1.25:
+            n <<= 1
+        self.n_buckets = n
+        self.bucket_size = bucket_size
+        self.max_kicks = max_kicks
+        self.table = np.zeros((n, bucket_size), dtype=np.uint16)
+        self.count = 0
+        self._rng = np.random.default_rng(0xC0FFEE)  # eviction choice only
+
+    def _fp_index(self, key: str) -> tuple[int, int]:
+        h = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+        fp = (int.from_bytes(h[:2], "little") % 65535) + 1  # never 0 (=empty)
+        i1 = int.from_bytes(h[2:10], "little") % self.n_buckets
+        return fp, i1
+
+    def _alt(self, i: int, fp: int) -> int:
+        h = int.from_bytes(
+            hashlib.blake2b(fp.to_bytes(2, "little"), digest_size=8).digest(), "little"
+        )
+        return (i ^ h) % self.n_buckets
+
+    def contains(self, key: str) -> bool:
+        fp, i1 = self._fp_index(key)
+        if fp in self.table[i1]:
+            return True
+        return fp in self.table[self._alt(i1, fp)]
+
+    def insert(self, key: str) -> bool:
+        fp, i1 = self._fp_index(key)
+        for i in (i1, self._alt(i1, fp)):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # evict along a bounded chain
+        i = i1 if self._rng.integers(2) else self._alt(i1, fp)
+        cur = fp
+        for _ in range(self.max_kicks):
+            slot = int(self._rng.integers(self.bucket_size))
+            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            i = self._alt(i, cur)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = cur
+                self.count += 1
+                return True
+        return False  # table effectively full (callers size capacity up front)
+
+
+@ray.remote(num_cpus=0.5)
+class SeenShard:
+    """One shard of the distributed seen-set. Keys are namespaced by the
+    caller ('u:<site>\\x1f<canon_url>' / 't:<site>\\x1f<title>')."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.cuckoo = CuckooFilter(capacity)
+        self.exact: set[str] = set()
+
+    def check_and_insert(self, keys: list[str]) -> list[bool]:
+        """For each key: True = first sighting (inserted now). Cuckoo fast
+        path; exact set resolves false positives and is the authority."""
+        out = []
+        for k in keys:
+            if self.cuckoo.contains(k):
+                new = k not in self.exact  # false-positive resolution
+            else:
+                new = True  # cuckoo has no false negatives
+            if new:
+                self.cuckoo.insert(k)
+                self.exact.add(k)
+            out.append(new)
+        return out
+
+    def contains(self, keys: list[str]) -> list[bool]:
+        return [k in self.exact for k in keys]
+
+    def dump(self) -> list[str]:
+        """Checkpoint payload (sorted for determinism)."""
+        return sorted(self.exact)
+
+    def restore(self, keys: list[str]) -> int:
+        for k in keys:
+            if k not in self.exact:
+                self.exact.add(k)
+                self.cuckoo.insert(k)
+        return len(self.exact)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+
+def make_seen_pool(n_shards: int, capacity_per_shard: int = 1 << 16) -> list:
+    return [
+        SeenShard.remote(i, capacity_per_shard) for i in range(n_shards)
+    ]
+
+
+class SeenFilterStage:
+    """``map_batches`` callable: batched check-and-insert against the shard
+    pool; keeps rows whose key is new. Handles are captured at construction
+    (broadcast once, not per batch)."""
+
+    def __init__(self, shards: list, keyspace: str, site_col: str, key_col: str):
+        self.shards = shards
+        self.keyspace = keyspace
+        self.site_col = site_col
+        self.key_col = key_col
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        if batch.num_rows == 0:
+            return batch
+        sites = batch[self.site_col].to_pylist()
+        vals = batch[self.key_col].to_pylist()
+        keys = [f"{self.keyspace}:{s}\x1f{v}" for s, v in zip(sites, vals)]
+        n = len(self.shards)
+        by_shard: dict[int, list[int]] = {}
+        for idx, k in enumerate(keys):
+            by_shard.setdefault(shard_of(k, n), []).append(idx)
+        futs, idxs = [], []
+        for sid, rows in by_shard.items():
+            futs.append(self.shards[sid].check_and_insert.remote([keys[r] for r in rows]))
+            idxs.append(rows)
+        mask = [False] * len(keys)
+        for rows, res in zip(idxs, ray.get(futs)):
+            for r, new in zip(rows, res):
+                mask[r] = new
+        return batch.filter(pa.array(mask))

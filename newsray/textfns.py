@@ -1,0 +1,136 @@
+"""String functions: keyword relevance, fuzzy title similarity, HTML-ish
+text cleanup (SURVEY.md §2.2 M3/M7/M8, §2.8).
+
+Shared verbatim by the Ray pipeline and the sequential oracle so conformance
+of the scalar layer holds by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WORD_RE = re.compile(r"\b\w+\b", re.UNICODE)
+_WS_RE = re.compile(r"\s+")
+_TAG_RE = re.compile(r"<[^>]+>")
+_BR_RE = re.compile(r"<br\s*/?>", re.IGNORECASE)
+
+
+def tokenize(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+def collapse_ws(text: str) -> str:
+    return _WS_RE.sub("", text)
+
+
+def html_to_text(fragment: str) -> str:
+    """``<br>`` → newline, strip remaining tags, trim (summary cleanup)."""
+    return _TAG_RE.sub("", _BR_RE.sub("\n", fragment)).strip()
+
+
+class KeywordMatcher:
+    """≥K-include-matches AND (optionally) no-exclude predicate, in the three
+    matching semantics the reference sites use (SURVEY M7):
+
+    * ``wordset``  — keyword ∈ word-boundary token set of the text;
+    * ``substring``— raw substring containment (matches inside words too);
+    * ``regex``    — word-boundary regex search for includes, token-set
+      membership for excludes.
+
+    Compiled once (actor ``__init__`` / closure capture — the keyword config
+    is broadcast, never re-shipped per batch).
+    """
+
+    def __init__(
+        self,
+        includes: list[str],
+        excludes: list[str],
+        variant: str,
+        check_exclude: bool,
+        min_matches: int = 2,
+        floor_on_small: bool = False,
+    ) -> None:
+        self.includes = list(includes)
+        self.excludes = list(excludes)
+        self.variant = variant
+        self.check_exclude = check_exclude
+        self.threshold = (
+            min(min_matches, len(self.includes)) if floor_on_small else min_matches
+        )
+        self._inc_lower = [k.lower() for k in self.includes]
+        self._exc_lower = [k.lower() for k in self.excludes]
+        self._inc_set = set(self._inc_lower)
+        self._exc_set = set(self._exc_lower)
+        if variant == "regex":
+            alt = "|".join(re.escape(k) for k in sorted(self._inc_lower))
+            self._inc_re = re.compile(rf"\b(?:{alt})\b") if alt else None
+        else:
+            self._inc_re = None
+
+    def include_count(self, text: str) -> int:
+        low = text.lower()
+        if self.variant == "wordset":
+            return len(self._inc_set.intersection(tokenize(low)))
+        if self.variant == "substring":
+            # per-keyword containment scan; at 10^10 scale this becomes an
+            # Aho-Corasick automaton held by the extract actor pool
+            return sum(1 for k in self._inc_lower if k in low)
+        if self.variant == "regex":
+            if self._inc_re is None:
+                return 0
+            return len(set(self._inc_re.findall(low)))
+        raise KeyError(f"unknown relevance variant {self.variant!r}")
+
+    def has_exclude(self, text: str) -> bool:
+        if not self.check_exclude:
+            return False
+        low = text.lower()
+        if self.variant == "substring":
+            return any(k in low for k in self._exc_lower)
+        # wordset + regex variants both use token-set membership for excludes
+        return bool(self._exc_set.intersection(tokenize(low)))
+
+    def relevant(self, text: str) -> bool:
+        return self.include_count(text) >= self.threshold and not self.has_exclude(text)
+
+
+def normalize_for_fuzzy(title: str) -> str:
+    """Lowercase + strip ALL whitespace (the normalization the reference's
+    fuzzy dedup applies before comparing)."""
+    return collapse_ws(title.lower())
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain O(len(a)*len(b)) edit distance (titles are short)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def fuzz_ratio(a: str, b: str) -> int:
+    """Levenshtein similarity ratio in [0, 100] (indel-style, like the
+    fuzzywuzzy/rapidfuzz ``fuzz.ratio`` family): 100*(1 - dist/(|a|+|b|))
+    rounded. Defined once here; pipeline and oracle share it."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 100
+    dist = levenshtein(a, b)
+    return int(round(100.0 * (total - dist) / total))
+
+
+def fuzzy_is_dup(title: str, accepted_norm: list[str], threshold: int) -> bool:
+    """Order-dependent near-dup check: compare against PREVIOUSLY ACCEPTED
+    titles in scan order; first-accepted-wins (SURVEY D3 — the aggressive
+    threshold is preserved verbatim, not 'fixed')."""
+    norm = normalize_for_fuzzy(title)
+    return any(fuzz_ratio(norm, seen) >= threshold for seen in accepted_norm)
