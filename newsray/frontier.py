@@ -33,7 +33,7 @@ from .seen import stable_hash64
 from .sites import SITES
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class HostScheduler:
     """One shard of the politeness/budget state (hosts hash-partition here)."""
 

@@ -387,6 +387,18 @@ class CrawlPipeline:
         self.start_wave = 0
         self._frontier0: pa.Table | None = None
 
+    def dump_seen(self) -> tuple[set, set]:
+        """(url_seen, title_seen) as (site, value) tuples — for equality
+        checks against the oracle and for external audits."""
+        url_seen: set = set()
+        title_seen: set = set()
+        for keys in ray.get([s.dump.remote() for s in self.seen_shards]):
+            for k in keys:
+                space, rest = k.split(":", 1)
+                site, val = rest.split("\x1f", 1)
+                (url_seen if space == "u" else title_seen).add((site, val))
+        return url_seen, title_seen
+
     def seed_frontier(self) -> pa.Table:
         rows = []
         for s in self.web.seeds():

@@ -96,7 +96,7 @@ class CuckooFilter:
         return False  # table effectively full (callers size capacity up front)
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0)
 class SeenShard:
     """One shard of the distributed seen-set. Keys are namespaced by the
     caller ('u:<site>\\x1f<canon_url>' / 't:<site>\\x1f<title>')."""

@@ -117,15 +117,27 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _lcs_len(a: str, b: str) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
 def fuzz_ratio(a: str, b: str) -> int:
-    """Levenshtein similarity ratio in [0, 100] (indel-style, like the
-    fuzzywuzzy/rapidfuzz ``fuzz.ratio`` family): 100*(1 - dist/(|a|+|b|))
-    rounded. Defined once here; pipeline and oracle share it."""
+    """Similarity ratio in [0, 100], the ``fuzz.ratio`` family semantics
+    (indel distance — substitutions cost 2): ``100 * 2*LCS / (|a|+|b|)``,
+    rounded. Disjoint strings → 0, identical → 100. Defined once here;
+    pipeline and oracle share it."""
     total = len(a) + len(b)
     if total == 0:
         return 100
-    dist = levenshtein(a, b)
-    return int(round(100.0 * (total - dist) / total))
+    return int(round(200.0 * _lcs_len(a, b) / total))
 
 
 def fuzzy_is_dup(title: str, accepted_norm: list[str], threshold: int) -> bool:

@@ -1,0 +1,86 @@
+"""Checkpoint/resume (SURVEY.md §5.4, north_rule): kill after wave k, resume,
+assert identical final output and NO re-fetch."""
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from newsray import checkpoint as ckpt
+from newsray.oracle import run_oracle
+from newsray.pipeline import CrawlPipeline, PipelineConfig
+from newsray.policy import CrawlPolicy
+from newsray.synth import SyntheticWeb, WebParams
+
+SITES_MINI = ("nate", "naver", "google", "skydaily")
+
+
+def _fetch_pairs(flog):
+    return sorted(zip(flog["discovered_seq"].to_pylist(), flog["canon_url"].to_pylist()))
+
+
+def test_kill_and_resume_no_refetch(ray_session):
+    params = WebParams(only_sites=SITES_MINI)
+    policy = CrawlPolicy()
+    with tempfile.TemporaryDirectory() as root:
+        # interrupted run: killed after 2 waves (max_waves as the kill switch)
+        killed = CrawlPipeline(
+            PipelineConfig(
+                web_params=params,
+                policy=CrawlPolicy(max_waves=2),
+                checkpoint_dir=os.path.join(root, "ck"),
+            )
+        )
+        part = killed.run()
+        assert part["fetch_log"].num_rows > 0
+        manifest = json.load(open(os.path.join(root, "ck", "manifest.json")))
+        assert manifest["completed_waves"] == [0, 1]
+
+        # resume with the full wave budget
+        resumed = CrawlPipeline(
+            PipelineConfig(
+                web_params=params, policy=policy, checkpoint_dir=os.path.join(root, "ck")
+            )
+        )
+        assert ckpt.restore(resumed, os.path.join(root, "ck"))
+        assert resumed.start_wave == 2
+        res = resumed.run()
+
+        # uninterrupted reference run + oracle
+        ora = run_oracle(SyntheticWeb(params), policy)
+        assert _fetch_pairs(res["fetch_log"]) == ora.fetch_order()
+        assert sorted(res["articles"]["url"].to_pylist()) == sorted(
+            r["url"] for r in ora.articles
+        )
+        # no re-fetch: waves 0-1 fetches appear exactly once (from the log
+        # replay), and the resumed waves are disjoint from them
+        waves = res["fetch_log"]["wave"].to_pylist()
+        seqs = res["fetch_log"]["discovered_seq"].to_pylist()
+        assert len(seqs) == len(set(seqs))
+        pre = {s for s, w in zip(seqs, waves) if w < 2}
+        post = {s for s, w in zip(seqs, waves) if w >= 2}
+        assert pre and post and not (pre & post)
+
+
+def test_wave_checkpoint_layout(ray_session):
+    params = WebParams(only_sites=("fnnews", "gukje"))
+    with tempfile.TemporaryDirectory() as root:
+        pipe = CrawlPipeline(
+            PipelineConfig(
+                web_params=params, policy=CrawlPolicy(), checkpoint_dir=root
+            )
+        )
+        pipe.run()
+        assert os.path.exists(os.path.join(root, "manifest.json"))
+        w0 = os.path.join(root, "wave_000")
+        for f in (
+            "frontier_in.parquet",
+            "next_frontier.parquet",
+            "docs.parquet",
+            "fetch_log.parquet",
+            "sched.json",
+            "metrics.json",
+        ):
+            assert os.path.exists(os.path.join(w0, f)), f
+        assert os.path.exists(os.path.join(w0, "seen", "shard_0.json"))

@@ -1,0 +1,208 @@
+"""Unit tests for the scalar layer: text/date/canonicalize functions
+(SURVEY.md §5.2 — operator unit tests for M3-M7, M4 variants, M5 cascade)."""
+
+from datetime import datetime
+
+import pytest
+
+from newsray.canonicalize import absolutize, canonicalize, is_valid_href
+from newsray.datefns import (
+    DEFAULT_NOW,
+    day_group_label,
+    parse_cascade,
+    parse_one,
+    within_last_days,
+)
+from newsray.extract import make_seq, parse_article, parse_listing
+from newsray.textfns import (
+    KeywordMatcher,
+    fuzz_ratio,
+    fuzzy_is_dup,
+    html_to_text,
+    levenshtein,
+    normalize_for_fuzzy,
+    tokenize,
+)
+
+NOW = datetime(2025, 4, 18, 17, 0, 0)
+
+
+# -- M5: timestamp cascades --------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,fmt,expected",
+    [
+        ("2025.04.18. 09:30:15", "ymd_dot_hms", datetime(2025, 4, 18, 9, 30, 15)),
+        ("09:30", "hm_today", datetime(2025, 4, 18, 9, 30)),
+        ("2025-04-18 09:30:15", "ymd_dash_hms", datetime(2025, 4, 18, 9, 30, 15)),
+        ("2025-04-18 09:30", "ymd_dash_hm", datetime(2025, 4, 18, 9, 30)),
+        ("2025.04.18 09:30", "ymd_dot_hm", datetime(2025, 4, 18, 9, 30)),
+        ("04-18 09:30", "md_hm_yearinject", datetime(2025, 4, 18, 9, 30)),
+        ("2025년 4월 18일", "korean_ymd", datetime(2025, 4, 18)),
+        # ISO-Z is UTC; +9h KST shift
+        ("2025-04-18T00:30:00Z", "iso_z_kst", datetime(2025, 4, 18, 9, 30)),
+        ("기자 아무개 | 2025-04-18 09:30", "pipe_ymd_dash_hm", datetime(2025, 4, 18, 9, 30)),
+    ],
+)
+def test_parse_one_formats(raw, fmt, expected):
+    assert parse_one(raw, fmt, NOW) == expected
+
+
+def test_parse_cascade_first_match_and_junk():
+    fmts = ("ymd_dash_hm", "ymd_dot_hm", "md_hm_yearinject")
+    assert parse_cascade("2025.04.17 08:00", fmts, NOW) == datetime(2025, 4, 17, 8, 0)
+    assert parse_cascade("곧 업데이트", fmts, NOW) is None  # junk → record dropped
+    assert parse_cascade(None, fmts, NOW) is None
+    # year injection uses now.year
+    assert parse_cascade("01-02 03:04", fmts, NOW) == datetime(2025, 1, 2, 3, 4)
+
+
+def test_recency_window():
+    assert within_last_days(datetime(2025, 4, 17, 12, 0), NOW, 2)
+    assert not within_last_days(datetime(2025, 4, 16, 12, 0), NOW, 2)
+
+
+def test_day_group_labels_korean_vs_english():
+    ts = datetime(2025, 4, 18, 10, 0)  # a Friday
+    assert day_group_label(ts, "korean") == "2025년 04월 18일 금요일"
+    assert day_group_label(ts, "english") == "2025년 04월 18일 Friday"
+
+
+# -- M4: canonicalization variants -------------------------------------------
+
+
+def test_canonicalize_strips_query_fragment():
+    c, h = canonicalize("https://news.nate.test/art/x1?mid=n0100#top", "https://news.nate.test/")
+    assert c == "https://news.nate.test/art/x1" and h == "news.nate.test"
+
+
+def test_canonicalize_protocol_relative_and_relative():
+    c, _ = canonicalize("//news.yna.test/art/a2", "https://news.yna.test/sec/nk0")
+    assert c == "https://news.yna.test/art/a2"
+    c, _ = canonicalize("/art/a3", "https://news.yna.test/sec/nk0")
+    assert c == "https://news.yna.test/art/a3"
+
+
+def test_canonicalize_dot_relative_and_host_dot():
+    c, _ = canonicalize("./art/a4", "https://news.google.test/sec/topic0")
+    assert c == "https://news.google.test/art/a4"
+    c, _ = canonicalize("https://news.google.test./art/a5", "https://news.google.test/")
+    assert c == "https://news.google.test/art/a5"
+
+
+def test_href_validity():
+    assert not is_valid_href("javascript:void(0)")
+    assert not is_valid_href("")
+    assert not is_valid_href(None)
+    assert not is_valid_href("#frag")
+    assert not is_valid_href("mailto:x@y.z")
+    assert is_valid_href("/art/ok")
+
+
+def test_absolutize_image():
+    assert (
+        absolutize("/thumb/a.jpg", "https://news.voa.test/")
+        == "https://news.voa.test/thumb/a.jpg"
+    )
+
+
+# -- M7: relevance variants ---------------------------------------------------
+
+INC = ["kalpha", "kbeta", "kgamma"]
+EXC = ["xbad"]
+
+
+def test_wordset_variant_word_boundaries():
+    m = KeywordMatcher(INC, EXC, "wordset", check_exclude=True)
+    assert m.relevant("news kalpha and kbeta today")
+    assert not m.relevant("prefixkalpha kbeta only-one-boundary")  # embedded ≠ word
+    assert not m.relevant("kalpha kbeta xbad")  # exclude kills
+
+
+def test_substring_variant_matches_embedded():
+    m = KeywordMatcher(INC, EXC, "substring", check_exclude=True)
+    assert m.relevant("prefixkalpha suffixkbeta")  # substring counts
+    assert not m.relevant("kalpha only one")
+    assert not m.relevant("kalpha kbeta abcxbaddef")  # exclude as substring too
+
+
+def test_regex_variant_boundary_include_wordset_exclude():
+    m = KeywordMatcher(INC, EXC, "regex", check_exclude=True)
+    assert m.relevant("kalpha, kbeta!")
+    assert not m.relevant("prefixkalpha kbeta")
+    assert m.relevant("kalpha kbeta embeddedxbad")  # exclude is word-set → embedded ok
+    assert not m.relevant("kalpha kbeta xbad")
+
+
+def test_no_exclude_variant():
+    m = KeywordMatcher(INC, EXC, "wordset", check_exclude=False)
+    assert m.relevant("kalpha kbeta xbad")  # excludes ignored (voa/gukje/skydaily)
+
+
+def test_min_floor_on_small_lists():
+    m = KeywordMatcher(["konly"], EXC, "substring", check_exclude=True, floor_on_small=True)
+    assert m.threshold == 1
+    assert m.relevant("konly mention once")
+
+
+# -- D3: fuzzy dedup ----------------------------------------------------------
+
+
+def test_fuzz_ratio_and_levenshtein():
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("abc", "abd") == 1
+    assert fuzz_ratio("same", "same") == 100
+    assert fuzz_ratio("", "") == 100
+    assert 0 <= fuzz_ratio("abcdef", "uvwxyz") <= 100
+    assert fuzz_ratio("a", "b") == 0
+
+
+def test_fuzzy_is_dup_order_dependent():
+    t1 = "north summit talks continue"
+    t2 = "north summit talks continue today"
+    mem: list[str] = []
+    assert not fuzzy_is_dup(t1, mem, 35)
+    mem.append(normalize_for_fuzzy(t1))
+    assert fuzzy_is_dup(t2, mem, 35)  # near-dup of accepted
+
+
+def test_html_to_text_br_and_tags():
+    assert html_to_text("line1<br>line2") == "line1\nline2"
+    assert html_to_text("<p>hello <b>world</b></p>") == "hello world"
+
+
+# -- extraction + sequencing --------------------------------------------------
+
+
+def test_parse_listing_roundtrip():
+    html = (
+        '<ul><li class="item"><a class="lnk" href="/art/a1">Title One</a>'
+        '<span class="tstamp">04-18 09:30</span><img class="thumb" src="/t/a1.jpg"/>'
+        '<p class="lead">lead text</p></li>'
+        '<li class="item"><a class="lnk" href="javascript:void(0)">ad</a></li></ul>'
+    )
+    items = parse_listing(html)
+    assert len(items) == 2
+    assert items[0].href == "/art/a1" and items[0].title == "Title One"
+    assert items[0].time_raw == "04-18 09:30" and items[0].img == "/t/a1.jpg"
+    assert items[0].lead == "lead text"
+    assert items[1].dom_idx == 1
+
+
+def test_parse_article_roundtrip():
+    html = (
+        '<h1 class="headline">T</h1><span class="published">2025-04-18 09:30</span>'
+        '<div class="article-body"><p>S</p></div><img class="og" src="/i.jpg"/>'
+    )
+    d = parse_article(html)
+    assert d == {"title": "T", "time_raw": "2025-04-18 09:30", "summary": "S", "img": "/i.jpg"}
+
+
+def test_make_seq_total_order():
+    # site → depth → seed → page → dom, strictly increasing along each axis
+    assert make_seq(0, 0, 0, 1, 0) < make_seq(0, 0, 0, 1, 1)
+    assert make_seq(0, 0, 0, 1, 99) < make_seq(0, 0, 0, 2, 0)
+    assert make_seq(0, 0, 0, 99, 5) < make_seq(0, 0, 1, 1, 0)
+    assert make_seq(0, 0, 99, 1, 0) < make_seq(0, 1, 0, 1, 0)
+    assert make_seq(0, 255, 0, 1, 0) < make_seq(1, 0, 0, 1, 0)
