@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in newsray/) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship pipeline: the Ray-Data crawl engine over a
+                     mini deterministic synthetic web, unioned with the
+                     span-pivoted sf0.001 documents table, returning one
+                     interleaved-document Dataset (input_hint schema).
+- ``queries()``    — every implemented operator from SURVEY.md §2 plus the
+                     training-data extensions (dedup family, ANN, text
+                     analysis, multimodal plumbing), keyed by name.
+- ``oracle_sql()`` — DuckDB-runnable ANSI SQL for the SQL-expressible
+                     subset; column names match the Ray results exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +19,37 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from newsray.registry import ORACLE_SQL, QUERIES, load_all
+
+load_all()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl a mini synthetic web with the wave-loop pipeline and
+    union the result with the span-pivoted sf0.001 documents — one
+    interleaved corpus in the input_hint schema."""
+    import ray.data as rd
+
+    from newsray.docspans import spanify_batch
+    from newsray.pipeline import CrawlPipeline, PipelineConfig
+    from newsray.policy import CrawlPolicy
+    from newsray.synth import WebParams
+
+    cfg = PipelineConfig(
+        web_params=WebParams(only_sites=("nate", "naver", "skydaily")),
+        policy=CrawlPolicy(),
+    )
+    crawl_docs = CrawlPipeline(cfg).run()["documents"]
+
+    flat = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(spanify_batch, batch_format="pyarrow")
+    return rd.from_arrow(crawl_docs).union(flat)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

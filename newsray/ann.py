@@ -1,0 +1,135 @@
+"""Similarity search over the `embeddings` table: exact brute-force cosine
+top-k (the baseline) and a random-hyperplane-LSH bucketed variant (the
+scale path). Training-data pipeline extension.
+
+Brute force = one matmul per batch against a broadcast query matrix
+(ray.put once) — zero shuffle, scales linearly in corpus size. The LSH
+variant probes only signature-adjacent buckets; at 10^10 rows the bucketed
+index would itself be a partitioned dataset keyed by signature prefix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .registry import register
+from .tabular import read
+
+TOP_K = 10
+QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
+
+
+def _load_query(sf_dir: str) -> np.ndarray:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = tbl["vec_id"].to_pylist().index(QUERY_VEC_ID)
+    q = np.asarray(tbl["embedding"][idx].as_py(), dtype=np.float64)
+    return q / np.linalg.norm(q)
+
+
+@register(
+    "knn_brute_cosine",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id,
+           ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) DESC,
+             vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def knn_brute_cosine(sf_dir: str):
+    """Exact top-k cosine neighbors of a fixed query vector: per-batch numpy
+    matmul against the broadcast query, then a global top-k (sort + limit —
+    Ray's distributed top-k). Ties broken by (rounded cos desc, vec_id asc)
+    so the cut is deterministic and oracle-stable."""
+    qref = ray.put(_load_query(sf_dir))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(b: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ q
+        keep = ids != QUERY_VEC_ID
+        r = np.floor(np.abs(cos[keep]) * 1e4 + 0.5) / 1e4 * np.sign(cos[keep])
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(ids[keep], pa.int64()),
+             "cos_sim": pa.array(r, pa.float64())}
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .sort(["cos_sim", "vec_id"], descending=[True, False])
+        .limit(TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (approximate; the 10^10-scale path)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 12
+LSH_SEED = 42
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def _signature(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes.T) > 0
+    return (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+
+
+@register("knn_lsh_cosine")  # approximate — rows-only driver check
+def knn_lsh_cosine(sf_dir: str):
+    """ANN via random-hyperplane LSH: each vector lands in a signature
+    bucket; the query probes its own bucket plus all Hamming-≤2 neighbors
+    (multiprobe), then ranks candidates exactly. Recall < 1 by design — approximate, so
+    no SQL oracle; determinism comes from the seeded plane matrix."""
+    q = _load_query(sf_dir)
+    planes = _planes(q.shape[0])
+    qsig = int(_signature(q[None, :], planes)[0])
+    probe = {qsig}
+    for i in range(N_PLANES):
+        probe.add(qsig ^ (1 << i))
+        for j in range(i + 1, N_PLANES):
+            probe.add(qsig ^ (1 << i) ^ (1 << j))  # Hamming ≤ 2 multiprobe
+    probe_arr = pa.array(sorted(probe), pa.int64())
+    qref = ray.put(q)
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def bucket_and_score(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qv = ray.get(qref)
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        sigs = _signature(m / norm, planes)
+        cos = (m / norm) @ qv
+        t = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.int64()),
+                "cos_sim": pa.array(np.round(cos, 6), pa.float64()),
+            }
+        )
+        t = t.filter(pc.is_in(t["sig"], value_set=probe_arr))
+        return t.filter(pc.not_equal(t["vec_id"], pa.scalar(QUERY_VEC_ID)))
+
+    return (
+        ds.map_batches(bucket_and_score, batch_format="pyarrow", batch_size=4096)
+        .drop_columns(["sig"])
+        .sort(["cos_sim", "vec_id"], descending=[True, False])
+        .limit(TOP_K)
+    )

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: opaque binary media payloads with typed
+metadata, decoded/feature-extracted by an actor-pool ``map_batches`` stage
+(training-data pipeline extension; the media_ref span in the crawl
+`documents` table is the same idea at the span level).
+
+No image/audio libraries exist in this container, so the DECODE KERNEL IS A
+STUB: ``MediaDecoder`` tries to import PIL and, absent it, runs a
+clearly-marked deterministic fake decode (parses the payload's synthetic
+8-byte header). Everything around the kernel — the binary column schema,
+actor-pool signature, per-actor setup, batch sizing for wide binary rows,
+output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .registry import register
+from .tabular import read
+
+
+def make_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic media payload for a document: an 8-byte
+    header (width:uint16, height:uint16, channels:uint16, version:uint16)
+    followed by blake2b-keyed pseudo-pixels. Stands in for a real image
+    column at the schema/plumbing level."""
+    h = hashlib.blake2b(f"media:{doc_id}".encode(), digest_size=8).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    header = (
+        width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + (3).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+    )
+    body = hashlib.blake2b(text.encode(), digest_size=32).digest()
+    return header + body
+
+
+class MediaDecoder:
+    """Actor-pool stage: decode a binary media column into features.
+
+    Per-actor setup happens ONCE in ``__init__`` (library import / model
+    load); ``__call__`` handles a batch. With small batch sizes suitable for
+    wide binary rows (a real image column would be MBs/row — batch_size is
+    the memory knob, SURVEY 'Memory-aware')."""
+
+    def __init__(self):
+        try:  # pragma: no cover - PIL absent in this container
+            import PIL.Image  # noqa: F401
+
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def _decode_real(self, payload: bytes) -> tuple[int, int]:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decode requires PIL — not available in this sandbox; "
+            "the deterministic fake decoder below exercises the same plumbing"
+        )
+
+    def _decode_fake(self, payload: bytes) -> tuple[int, int]:
+        width = int.from_bytes(payload[0:2], "little")
+        height = int.from_bytes(payload[2:4], "little")
+        return width, height
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        widths, heights, nbytes, checksums = [], [], [], []
+        for payload in b["media"].to_pylist():
+            w, h = (
+                self._decode_real(payload) if self._real else self._decode_fake(payload)
+            )
+            widths.append(w)
+            heights.append(h)
+            nbytes.append(len(payload))
+            checksums.append(hashlib.blake2b(payload, digest_size=4).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_bytes": pa.array(nbytes, pa.int64()),
+                "checksum": pa.array(checksums, pa.string()),
+            }
+        )
+
+
+@register("media_features")  # binary decode — not SQL-expressible
+def media_features(sf_dir: str):
+    """documents → synthetic binary media column → actor-pool decode →
+    typed feature table. Rows-only driver check (the decode kernel is a
+    deterministic stub, see module docstring)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        payloads = [
+            make_payload(d, t)
+            for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": b["doc_id"], "media": pa.array(payloads, pa.binary())}
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=256,  # small batches: wide binary rows
+        concurrency=2,
+    )
+
+
+@register(
+    "media_meta",
+    sql="SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes FROM documents",
+)
+def media_meta(sf_dir: str):
+    """SQL-checkable slice of the media path: payload byte accounting
+    (utf-8 text bytes — the body length the synthetic payload derives from)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def meta(b: pa.Table) -> pa.Table:
+        n = [len(t.encode("utf-8")) for t in b["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": b["doc_id"], "n_text_bytes": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(meta, batch_format="pyarrow")

@@ -1,0 +1,398 @@
+"""Relational operators over the testdata star schema, Ray-Data-first, each
+mirroring an operator family from SURVEY.md §2 and cross-checked against a
+DuckDB oracle (the driver's correctness gate).
+
+Scale discipline per operator:
+* column pruning at the read;
+* partial aggregation inside ``map_batches`` before any ``groupby`` where
+  the key space is small;
+* broadcast joins for dimension tables (``ray.put`` once, lookup per batch);
+* explicit hash-bucket partitioned joins when both sides are large;
+* per-group work only where semantics are inherently per-group (windows,
+  sessions, as-of).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .registry import register
+from .tabular import read, round_col
+
+# ---------------------------------------------------------------------------
+# A-family: grouped aggregation (SURVEY §2.5 A1-A4) — TPC-H-Q1-shaped
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                          AS avg_qty,
+           COUNT(*)                                           AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(sf_dir: str):
+    """Grouped aggregate with vectorized pre-computation (disc price) in a
+    pyarrow map_batches; the groupby shuffles only the 6-key partials."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_disc(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(add_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        avg = pc.divide(b["sum_qty"], pc.cast(b["count_order"], pa.float64()))
+        b = b.append_column("avg_qty", avg)
+        for col, d in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2), ("avg_qty", 4)):
+            b = round_col(b, col, d)
+        return b.select(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "avg_qty", "count_order"]
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+@register(
+    "events_daily_counts",
+    sql="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+    FROM events GROUP BY day
+    """,
+)
+def events_daily_counts(sf_dir: str):
+    """Day bucketing (the reference's group-by-date sink, SURVEY A1) with
+    per-batch partial counts before the tiny key shuffle."""
+    ds = read(sf_dir, "events", ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["ts"].dt.strftime("%Y-%m-%d").value_counts()
+        return pd.DataFrame({"day": c.index, "partial_n": c.to_numpy()})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# O-family: sort / top-k / limit (SURVEY §2.6 O1-O3, K3 capped feed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "newest_50_events",
+    sql="""
+    SELECT event_id, ts FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 50
+    """,
+)
+def newest_50_events(sf_dir: str):
+    """Global newest-K cap (the aggregator's 50-item feed, SURVEY K3/O3)."""
+    ds = read(sf_dir, "events", ["event_id", "ts"])
+    return ds.sort(["ts", "event_id"], descending=[True, True]).limit(50)
+
+
+@register(
+    "top3_by_event_type",
+    sql="""
+    SELECT event_type, event_id, ROUND(value, 4) AS value FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+)
+def top3_by_event_type(sf_dir: str):
+    """Per-group top-k (sort inside day group, SURVEY O1) via map_groups —
+    local per-group sort, no global sort."""
+    ds = read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(3).copy()
+        g["value"] = np.floor(np.abs(g["value"]) * 1e4 + 0.5) / 1e4 * np.sign(g["value"])
+        return g
+
+    return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
+@register(
+    "distinct_flag_status",
+    sql="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flag_status(sf_dir: str):
+    """Exact-tuple distinct (SURVEY D6/A3 — the Daum result_set)."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="_n"))
+    return out.drop_columns(["_n"])
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins (SURVEY §2.4 — broadcast lookup & partitioned hash join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_per_region",
+    sql="""
+    SELECT r_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def customers_per_region(sf_dir: str):
+    """Broadcast join: the dimension chain nation→region is read once on the
+    driver, shipped via ray.put, and applied as a dict lookup per batch —
+    no shuffle for the small side (SURVEY §2.4 J-mapping; ray_guide joins)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    reg_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nat_to_region = {
+        nk: reg_name[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    lookup_ref = ray.put(nat_to_region)
+
+    def tag(b: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        names = [lut[k] for k in b["c_nationkey"].to_pylist()]
+        return pa.Table.from_pydict({"r_name": pa.array(names, pa.string())})
+
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "customer", ["c_nationkey"])
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("r_name").aggregate(
+        Count(alias_name="n_customers")
+    )
+
+
+N_JOIN_BUCKETS = 32
+
+
+@register(
+    "revenue_by_priority",
+    sql="""
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def revenue_by_priority(sf_dir: str):
+    """Explicit partitioned hash join (both sides large): tag each side,
+    bucket by hash(orderkey) % B, co-locate via ONE groupby, join + partially
+    aggregate inside each bucket, then a tiny final groupby. This is the
+    portable Ray Data large-join pattern (ray_guide 'Joins'); B scales with
+    the cluster, hot keys would be salted into sub-buckets."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lineitem = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": b["o_orderkey"],
+                "bucket": pc.cast(
+                    pc.bit_wise_and(b["o_orderkey"], pa.scalar(N_JOIN_BUCKETS - 1)),
+                    pa.int64(),
+                ),
+                "side": pa.array(["o"] * b.num_rows),
+                "o_orderpriority": b["o_orderpriority"],
+                "rev": pa.nulls(b.num_rows, pa.float64()),
+            }
+        )
+
+    def prep_items(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.Table.from_pydict(
+            {
+                "key": b["l_orderkey"],
+                "bucket": pc.cast(
+                    pc.bit_wise_and(b["l_orderkey"], pa.scalar(N_JOIN_BUCKETS - 1)),
+                    pa.int64(),
+                ),
+                "side": pa.array(["l"] * b.num_rows),
+                "o_orderpriority": pa.nulls(b.num_rows, pa.string()),
+                "rev": rev,
+            }
+        )
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(prep_items, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "o"][["key", "o_orderpriority"]]
+        l = g[g["side"] == "l"][["key", "rev"]]
+        m = l.merge(o, on="key", how="inner")
+        agg = m.groupby("o_orderpriority", as_index=False).agg(
+            partial_rev=("rev", "sum"), partial_n=("rev", "size")
+        )
+        return agg
+
+    out = (
+        both.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("partial_rev", alias_name="revenue"),
+            Sum("partial_n", alias_name="n_items"),
+        )
+    )
+    return out.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+
+
+@register(
+    "last_click_before_purchase",
+    sql="""
+    SELECT p.event_id AS event_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def last_click_before_purchase(sf_dir: str):
+    """As-of join (an operator Ray Data lacks): bucket both sides by
+    hash(user_id), co-locate with one groupby, and run pandas ``merge_asof``
+    per bucket over ts-sorted frames (ray_guide as-of pattern). Partitioning
+    assumption: a user's events fit one bucket group."""
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["event_type"], value_set=pa.array(["purchase", "click"])))
+        bucket = pc.cast(pc.bit_wise_and(b["user_id"], pa.scalar(31)), pa.int64())
+        return b.append_column("bucket", bucket)
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        c = g[g["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        if len(p) == 0 or len(c) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "click_ts": pd.Series([], dtype="datetime64[us]")})
+        m = pd.merge_asof(
+            p[["event_id", "ts", "user_id"]],
+            c[["ts", "user_id"]].rename(columns={"ts": "click_ts"}),
+            left_on="ts",
+            right_on="click_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["click_ts"])
+        return m[["event_id", "click_ts"]]
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped: tumbling windows + sessionization (ray_guide streaming)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_user_windows",
+    sql="""
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY user_id, hour_bucket
+    """,
+)
+def hourly_user_windows(sf_dir: str):
+    """Tumbling event-time window as a keyed aggregate: window id computed
+    vectorized per batch (exact integer arithmetic on epoch-us), then one
+    groupby over (user, window)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_window(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("datetime64[us]").astype("int64")  # epoch microseconds
+        b = b[["user_id", "value"]].copy()
+        b["hour_bucket"] = us // 3_600_000_000
+        return b
+
+    out = (
+        ds.map_batches(add_window, batch_format="pandas")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(lambda b: round_col(b, "sum_value", 4), batch_format="pyarrow")
+
+
+@register(
+    "user_session_counts",
+    sql="""
+    WITH d AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM d GROUP BY user_id
+    """,
+)
+def user_session_counts(sf_dir: str):
+    """Session windows (30-min inactivity gap), the canonical stateful
+    streaming op: per-user ordered scan inside map_groups. Ordering
+    assumption: (ts, event_id) totally orders a user's events."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff()
+        new_s = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new_s.sum())]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

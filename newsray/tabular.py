@@ -1,0 +1,33 @@
+"""Shared helpers for the tabular operator suite over the driver's testdata
+star schema (TESTDATA.md). All readers prune columns at the read."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def md5_utf8(values: list[str]) -> list[str]:
+    return [hashlib.md5(v.encode("utf-8")).hexdigest() for v in values]
+
+
+def round_col(batch: pa.Table, col: str, digits: int) -> pa.Table:
+    """Round a float column half-away-from-zero, matching SQL ROUND (numpy
+    rounds half-to-even, which would disagree with the DuckDB oracle)."""
+    x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    scale = 10.0**digits
+    r = np.floor(np.abs(x) * scale + 0.5) / scale * np.sign(x)
+    i = batch.column_names.index(col)
+    return batch.set_column(i, col, pa.array(r, pa.float64()))
+
+
+def sql_tag(op_id: str) -> str:
+    """Marker comment embedded in oracle SQL for traceability to SURVEY §2."""
+    return f"-- newsray operator {op_id}\n"

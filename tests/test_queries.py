@@ -1,0 +1,111 @@
+"""Driver-contract checks: a fast subset of __ray_entry__.queries() compared
+against oracle_sql() via DuckDB at sf0.001 (the same comparison the driver
+runs at sf0.01), plus structural checks for rows-only operators."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+ORACLE_SUBSET = [
+    "pricing_summary",
+    "events_daily_counts",
+    "newest_50_events",
+    "top3_by_event_type",
+    "distinct_flag_status",
+    "customers_per_region",
+    "revenue_by_priority",
+    "last_click_before_purchase",
+    "hourly_user_windows",
+    "user_session_counts",
+    "doc_token_counts",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality",
+    "relevant_docs",
+    "dedup_exact_first",
+    "media_meta",
+    "knn_brute_cosine",
+]
+
+
+@pytest.fixture(scope="module")
+def harness(ray_session):
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return entrymod, con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.mark.parametrize("name", ORACLE_SUBSET)
+def test_query_matches_oracle(harness, name):
+    entrymod, con = harness
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = _normalize(_to_pandas(fn(SF)))
+    want = _normalize(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_rows_only_ops_structural(harness):
+    entrymod, _ = harness
+    qs = entrymod.queries()
+    pairs = _to_pandas(qs["dedup_minhash_lsh"](SF))
+    assert set(pairs.columns) == {"doc_a", "doc_b", "jaccard"}
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+    assert (pairs["jaccard"] >= 0.5).all()
+
+    emb = _to_pandas(qs["dedup_embedding_cosine"](SF))
+    assert (emb["vec_a"] < emb["vec_b"]).all()
+    assert (emb["cos_sim"] >= 0.45).all()
+
+    knn = _to_pandas(qs["knn_lsh_cosine"](SF))
+    assert len(knn) <= 10 and 0 not in set(knn["vec_id"])
+    # LSH recall sanity: every LSH hit's score ≤ the brute-force best
+    brute = _to_pandas(qs["knn_brute_cosine"](SF))
+    assert knn["cos_sim"].max() <= brute["cos_sim"].max() + 1e-3
+
+    media = _to_pandas(qs["media_features"](SF))
+    assert len(media) == 500
+    assert (media["width"] >= 16).all() and (media["n_bytes"] > 8).all()
+
+    spans = _to_pandas(qs["documents_interleaved"](SF))
+    assert len(spans) == 500
+    row = spans.iloc[0]["spans"]
+    kinds = [s["kind"] for s in row]
+    assert kinds == ["title", "summary", "link"]
+    assert [s["offset"] for s in row] == [0, 1, 2]
+
+
+def test_every_query_has_unique_registered_name(harness):
+    entrymod, _ = harness
+    qs, oracle = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracle) <= set(qs)
+    assert len(qs) >= 25
