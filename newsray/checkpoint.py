@@ -26,6 +26,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
+import ray.data
 
 
 def _wave_dir(root: str, wave: int) -> str:
@@ -48,7 +49,7 @@ def write_frontier_in(root: str, wave: int, frontier: pa.Table) -> None:
 def write_wave(
     root: str,
     wave: int,
-    docs: pa.Table,
+    docs,  # pa.Table or ray.data.Dataset (docs stay distributed per wave)
     next_frontier: pa.Table,
     fetch_log: pa.Table,
     seen_shards: list,
@@ -57,9 +58,15 @@ def write_wave(
 ) -> None:
     d = _wave_dir(root, wave)
     os.makedirs(os.path.join(d, "seen"), exist_ok=True)
-    pq.write_table(docs, os.path.join(d, "docs.parquet"))
+    def _write(obj, name: str) -> None:
+        if isinstance(obj, pa.Table):
+            pq.write_table(obj, os.path.join(d, f"{name}.parquet"))
+        else:  # parallel partitioned write straight from the object store
+            obj.write_parquet(os.path.join(d, name))
+
+    _write(docs, "docs")
     pq.write_table(next_frontier, os.path.join(d, "next_frontier.parquet"))
-    pq.write_table(fetch_log, os.path.join(d, "fetch_log.parquet"))
+    _write(fetch_log, "fetch_log")
     dumps = ray.get([s.dump.remote() for s in seen_shards])
     for i, keys in enumerate(dumps):
         _atomic_json(os.path.join(d, "seen", f"shard_{i}.json"), keys)
@@ -92,8 +99,12 @@ def restore(pipeline, root: str) -> bool:
     # accumulated docs + fetch logs from all completed waves (lineage replay)
     for w in waves:
         d = _wave_dir(root, w)
-        pipeline.doc_tables.append(pq.read_table(os.path.join(d, "docs.parquet")))
-        pipeline.fetch_logs.append(pq.read_table(os.path.join(d, "fetch_log.parquet")))
+        def _read(name: str) -> pa.Table:
+            f = os.path.join(d, f"{name}.parquet")
+            return pq.read_table(f if os.path.exists(f) else os.path.join(d, name))
+
+        pipeline.doc_tables.append(_read("docs"))
+        pipeline.fetch_logs.append(_read("fetch_log"))
         with open(os.path.join(d, "metrics.json")) as f:
             pipeline.wave_metrics.append(json.load(f))
     d = _wave_dir(root, last)

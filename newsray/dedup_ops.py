@@ -100,60 +100,121 @@ def _minhash(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.min(vals, axis=1).astype(np.int64)
 
 
+def _jaccard_pairs_df(ids: np.ndarray, shs: list[set[int]], thresh: float) -> pd.DataFrame:
+    """Vectorized all-pairs Jaccard within a candidate bucket: doc×shingle
+    incidence matmul for intersections (no Python pair loop — buckets can be
+    large on homogeneous corpora)."""
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+    if len(ids) < 2:
+        return empty
+    vocab: dict[int, int] = {}
+    for s in shs:
+        for x in s:
+            vocab.setdefault(x, len(vocab))
+    m = np.zeros((len(ids), len(vocab)), dtype=np.int32)
+    for r, s in enumerate(shs):
+        m[r, [vocab[x] for x in s]] = 1
+    inter = m @ m.T
+    sizes = m.sum(axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    mask = jac[iu, ju] >= thresh
+    if not mask.any():
+        return empty
+    return pd.DataFrame(
+        {"doc_a": pd.Series(ids[iu[mask]], dtype="int64"),
+         "doc_b": pd.Series(ids[ju[mask]], dtype="int64"),
+         "jaccard": pd.Series(np.round(jac[iu, ju][mask], 4), dtype="float64")}
+    )
+
+
+_SHINGLE_CACHE: dict = {}
+
+
+def _shingle_store(text_ref) -> dict:
+    """Worker-process-cached doc_id → shingle set, built lazily from the
+    broadcast corpus (ray.put once). At 10^10-doc scale this broadcast is
+    replaced by re-joining candidate pairs against the corpus by doc_id; the
+    banding/verify structure is unchanged."""
+    key = text_ref.hex() if hasattr(text_ref, "hex") else id(text_ref)
+    store = _SHINGLE_CACHE.get(key)
+    if store is None:
+        store = {"texts": ray.get(text_ref), "shingles": {}}
+        _SHINGLE_CACHE[key] = store
+    return store
+
+
+def _shingles_for(store: dict, doc_id: int) -> set[int]:
+    s = store["shingles"].get(doc_id)
+    if s is None:
+        s = _shingles(store["texts"][doc_id])
+        store["shingles"][doc_id] = s
+    return s
+
+
 @register("dedup_minhash_lsh")  # set-similarity join — not SQL-expressible
 def dedup_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup pairs: per-batch shingle/minhash, explode to one
-    row per (band, band_hash, doc), ONE groupby co-locates candidate
-    buckets, exact Jaccard verifies pairs inside the group. Returns verified
+    row per (band, band_hash, doc) — signatures only, the text never rides
+    the shuffle — ONE groupby co-locates candidate buckets, exact Jaccard
+    verifies pairs in-group against the broadcast corpus. Returns verified
     pairs (doc_a < doc_b, jaccard ≥ 0.5). Driver check is rows-only."""
     a, b = _perm_params()
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    text_ref = ray.put(dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())))
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
+    N_PARTS = 64  # coarse partitions; each holds many LSH buckets
+
     def bands(batch: pa.Table) -> pa.Table:
-        out = {"band": [], "band_hash": [], "doc_id": [], "text": []}
+        out = {"part": [], "band_hash": [], "doc_id": []}
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             mh = _minhash(_shingles(text), a, b)
             for band in range(N_BANDS):
                 chunk = mh[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out["band"].append(band)
+                bh = f"{band}:" + hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out["part"].append(
+                    int.from_bytes(hashlib.blake2b(bh.encode(), digest_size=4).digest(), "little")
+                    % N_PARTS
+                )
                 out["band_hash"].append(bh)
                 out["doc_id"].append(doc_id)
-                out["text"].append(text)  # carried for in-group verification
         return pa.Table.from_pydict(out)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(rows) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "jaccard": pd.Series([], dtype="float64")}
-            )
-        ids = rows["doc_id"].to_numpy()
-        shs = [_shingles(t) for t in rows["text"]]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(shs[i] & shs[j])
-                if inter == 0:
-                    continue
-                jac = inter / len(shs[i] | shs[j])
-                if jac >= JACCARD_T:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_j.append(round(jac, 4))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+        """One coarse partition = many LSH buckets: sub-group in pandas and
+        verify each bucket — map_groups over millions of 1-row buckets is
+        the Ray anti-pattern this avoids."""
+        store = _shingle_store(text_ref)
+        frames = []
+        for _, sub in g.groupby("band_hash", sort=True):
+            if len(sub) < 2:
+                continue
+            ids = np.sort(sub["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            shs = [_shingles_for(store, int(i)) for i in ids]
+            frames.append(_jaccard_pairs_df(ids, shs, JACCARD_T))
+        if not frames:
+            return _jaccard_pairs_df(np.array([], dtype=np.int64), [], JACCARD_T)
+        return pd.concat(frames, ignore_index=True)
 
     pairs = (
         ds.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        .groupby("part")
         .map_groups(verify, batch_format="pandas")
     )
-    # a pair can surface from several bands → exact-dedup the pair list
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    # a pair surfaces once per matching band → vectorized hash-aggregate
+    # dedup (never map_groups over hundreds of thousands of 1-row groups)
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("jaccard", alias_name="jaccard")
     )
 
 
@@ -161,18 +222,36 @@ def dedup_minhash_lsh(sf_dir: str):
 # SimHash near-dup (64-bit signatures, banded Hamming blocking)
 # ---------------------------------------------------------------------------
 
-HAMMING_T = 8
+HAMMING_T = 4
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_pairs(sg: np.ndarray, thresh: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (i<j) index pairs with popcount(sg[i]^sg[j]) ≤ thresh, fully
+    vectorized (outer XOR + byte-LUT popcount) — in-bucket verification must
+    not be a Python pair loop on skewed buckets."""
+    n = len(sg)
+    x = np.bitwise_xor.outer(sg, sg)  # (n, n) uint64
+    ham = _POPCNT8[x.view(np.uint8).reshape(n, n, 8)].sum(axis=2).astype(np.int64)
+    iu, ju = np.triu_indices(n, k=1)
+    mask = ham[iu, ju] <= thresh
+    return iu[mask], ju[mask], ham[iu, ju][mask]
 
 
 def _simhash64(text: str) -> int:
+    """Count-weighted 64-bit SimHash (Charikar): token features weighted by
+    frequency — unweighted signatures collapse on homogeneous vocabularies."""
+    from collections import Counter
+
     acc = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
-    for tok in set(text.split(" ")):
+    for tok, cnt in Counter(text.split(" ")).items():
         h = np.uint64(
             int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
         )
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
+        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+        acc += cnt * (2 * bits - 1)
     sig = 0
     for i in range(64):
         if acc[i] > 0:
@@ -212,19 +291,18 @@ def dedup_simhash(sf_dir: str):
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         rows = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = rows["doc_id"].to_numpy()
-        sg = rows["sig"].to_numpy()
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = int(bin(int(sg[i]) ^ int(sg[j])).count("1"))
-                if ham <= HAMMING_T:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_h.append(ham)
+        sg = rows["sig"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        ii, jj, ham = _hamming_pairs(sg, HAMMING_T)
         return pd.DataFrame(
-            {"doc_a": pd.Series(out_a, dtype="int64"),
-             "doc_b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_h, dtype="int64")}
+            {"doc_a": pd.Series(ids[ii], dtype="int64"),
+             "doc_b": pd.Series(ids[jj], dtype="int64"),
+             "hamming": pd.Series(ham, dtype="int64")}
         )
 
     pairs = (
@@ -232,8 +310,10 @@ def dedup_simhash(sf_dir: str):
         .groupby(["band", "band_val"])
         .map_groups(verify, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 
@@ -257,22 +337,7 @@ def ngram_jaccard_by_source(sf_dir: str):
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         shs = [_shingles(t) for t in g["text"]]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                u = len(shs[i] | shs[j])
-                if u == 0:
-                    continue
-                jac = len(shs[i] & shs[j]) / u
-                if jac >= 0.35:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_j.append(round(jac, 4))
-        return pd.DataFrame(
-            {"doc_a": pd.Series(out_a, dtype="int64"),
-             "doc_b": pd.Series(out_b, dtype="int64"),
-             "jaccard": pd.Series(out_j, dtype="float64")}
-        )
+        return _jaccard_pairs_df(ids, shs, 0.35)
 
     return ds.groupby("source").map_groups(pairs, batch_format="pandas")
 

@@ -62,7 +62,7 @@ from .extract import (
 from .frontier import ScheduleGroup, make_scheduler_pool
 from .oracle import effective_page_cap, make_matcher
 from .policy import CrawlPolicy
-from .seen import SeenFilterStage, make_seen_pool, stable_hash64
+from .seen import SeenFilterStage, WaveMinStage, make_seen_pool, stable_hash64
 from .sites import SITE_RANK, SITES
 from .synth import SyntheticWeb, WebParams
 from .textfns import KeywordMatcher, fuzzy_is_dup, html_to_text, normalize_for_fuzzy
@@ -70,7 +70,7 @@ from .textfns import KeywordMatcher, fuzzy_is_dup, html_to_text, normalize_for_f
 # unified wave-output schema (the fused fetch+parse stage emits all rowkinds)
 WAVE_SCHEMA = pa.schema(
     [
-        ("rowkind", pa.string()),  # 'cand' | 'next' | 'doc' | 'frontier'
+        ("rowkind", pa.string()),  # 'cand' | 'next' | 'doc' | 'frontier' | 'flog'
         ("site", pa.string()),
         ("category", pa.string()),
         ("seed_rank", pa.int32()),
@@ -89,6 +89,7 @@ WAVE_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("original_url", pa.string()),
         ("date_group", pa.string()),
+        ("released_at_virtual", pa.float64()),
     ]
 )
 
@@ -191,6 +192,14 @@ def fetch_parse(batch: pa.Table, web_params: WebParams, policy: CrawlPolicy) -> 
 
     for row in batch.to_pylist():
         cfg = SITES[row["site"]]
+        emit(  # fetch-log lineage row (one per scheduled fetch)
+            rowkind="flog",
+            site=cfg.site,
+            canon_url=row["canon_url"],
+            host=row["host"],
+            discovered_seq=row["discovered_seq"],
+            released_at_virtual=row.get("released_at_virtual"),
+        )
         status, enc, payload = eng.web.fetch(row["canon_url"])
         if status != 200:
             continue
@@ -258,11 +267,11 @@ def fetch_parse(batch: pa.Table, web_params: WebParams, policy: CrawlPolicy) -> 
     return pa.Table.from_pydict(out, schema=WAVE_SCHEMA)
 
 
-def cand_gate(batch: pa.Table, policy: CrawlPolicy, n_buckets: int) -> pa.Table:
+def cand_gate(batch: pa.Table, policy: CrawlPolicy) -> pa.Table:
     """Candidate gate: href validity → canonicalize → off-host → robots;
-    adds canon_url/host and the dedup hash bucket."""
+    fills canon_url/host. Output keeps the WAVE_SCHEMA column order."""
     if batch.num_rows == 0:
-        return batch.append_column("bucket", pa.array([], pa.int64()))
+        return batch
     hrefs = batch["href"].to_pylist()
     bases = batch["base_url"].to_pylist()
     sites = batch["site"].to_pylist()
@@ -271,15 +280,13 @@ def cand_gate(batch: pa.Table, policy: CrawlPolicy, n_buckets: int) -> pa.Table:
         ok and h == SITES[s].host and policy.allowed(h, urlparse(c).path)
         for ok, c, h, s in zip(valid, canon, hosts, sites)
     ]
-    batch = batch.drop_columns(["canon_url", "host"])
-    batch = batch.append_column("canon_url", pa.array(canon, pa.string()))
-    batch = batch.append_column("host", pa.array(hosts, pa.string()))
-    batch = batch.filter(pa.array(keep))
-    bucket = [
-        stable_hash64(f"{s}\x1f{c}") % n_buckets
-        for s, c in zip(batch["site"].to_pylist(), batch["canon_url"].to_pylist())
-    ]
-    return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+    batch = batch.set_column(
+        batch.column_names.index("canon_url"), "canon_url", pa.array(canon, pa.string())
+    )
+    batch = batch.set_column(
+        batch.column_names.index("host"), "host", pa.array(hosts, pa.string())
+    )
+    return batch.filter(pa.array(keep, pa.bool_()))
 
 
 def add_bucket(batch: pa.Table, key_cols: list[str], n_buckets: int) -> pa.Table:
@@ -305,17 +312,37 @@ def relevance_finalize(
 ) -> pa.Table:
     """Pre-fetch keyword relevance (title / title+lead targets), then:
     single-hop survivors are finalized into doc rows; two-hop survivors
-    become next-wave frontier rows (rowkind='frontier')."""
+    become next-wave frontier rows (rowkind='frontier').
+
+    The relevance predicate runs VECTORIZED per site sub-batch
+    (KeywordMatcher.relevant_batch — pyarrow substring kernels for the
+    hot substring variant); only surviving rows take the per-row
+    finalize path."""
     eng = get_engine(web_params, policy)
+    rows = batch.to_pylist()
+    # 1) vectorized relevance per site group
+    by_site: dict[str, list[int]] = {}
+    for i, row in enumerate(rows):
+        by_site.setdefault(row["site"], []).append(i)
+    keep = [True] * len(rows)
+    for site, idxs in by_site.items():
+        cfg = SITES[site]
+        if cfg.match_target not in ("title", "title+lead"):
+            continue  # title+summary sites check post-fetch (in fetch_parse)
+        targets = []
+        for i in idxs:
+            t = rows[i]["title"] or ""
+            if cfg.match_target == "title+lead" and rows[i]["lead"]:
+                t = t + " " + html_to_text(rows[i]["lead"])
+            targets.append(t)
+        for i, ok in zip(idxs, eng.matchers[site].relevant_batch(targets)):
+            keep[i] = ok
+    # 2) per-row finalize / forward for survivors
     out = _empty_wave_dict()
-    for row in batch.to_pylist():
+    for i, row in enumerate(rows):
+        if not keep[i]:
+            continue
         cfg = SITES[row["site"]]
-        if cfg.match_target in ("title", "title+lead"):
-            target = row["title"] or ""
-            if cfg.match_target == "title+lead" and row["lead"]:
-                target = target + " " + html_to_text(row["lead"])
-            if not eng.matchers[cfg.site].relevant(target):
-                continue
         if cfg.detail_hop:
             row = dict(row)
             row["rowkind"] = "frontier"
@@ -365,7 +392,9 @@ class PipelineConfig:
     policy: CrawlPolicy = field(default_factory=CrawlPolicy)
     n_seen_shards: int = 4
     n_sched_shards: int = 2
-    batch_size: int = 256  # frontier rows per fetch+parse task
+    batch_size: int | None = None  # fetch+parse batch rows; None = one batch
+    # per block (repartition_blocks controls task granularity / skew spread)
+    cand_batch_size: int = 8192  # candidate-stage rows per batch
     dedup_buckets: int = 16
     repartition_blocks: int = 16
     checkpoint_dir: str | None = None
@@ -381,6 +410,9 @@ class CrawlPipeline:
         self.web = SyntheticWeb(cfg.web_params)  # driver-side: seeds only
         self.seen_shards = make_seen_pool(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
         self.schedulers = make_scheduler_pool(cfg.n_sched_shards, cfg.policy.host_budget)
+        from .lineage import MetricsActor
+
+        self.metrics = MetricsActor.remote()
         self.wave_metrics: list[dict] = []
         self.fetch_logs: list[pa.Table] = []
         self.doc_tables: list[pa.Table] = []
@@ -424,104 +456,156 @@ class CrawlPipeline:
     def run_wave(self, wave: int, frontier: pa.Table) -> tuple[pa.Table, pa.Table, pa.Table]:
         """Returns (docs, next_frontier, fetch_log) as Arrow tables — a
         wave's outputs are bounded metadata; payloads never escape the fused
-        fetch+parse stage inside."""
+        fetch+parse stage inside.
+
+        THREE Ray executions per wave, ZERO candidate shuffles: within-wave
+        exact dedup (min-discovered_seq wins, for both URL and title
+        keyspaces) uses the seen-shards' two-phase register/resolve protocol
+        (seen.py) — duplicates of a key already hash-route to one shard, so
+        no groupby is needed to co-locate them; the materialize barrier
+        between executions orders the phases:
+
+          A. schedule (groupby host — the one unavoidable exchange, one
+             politeness/budget RPC per host) → repartition (skew-spread) →
+             fused fetch+parse → candidate gate → URL wave-min REGISTER;
+          B. URL RESOLVE+insert (drops same-wave losers and cross-wave
+             seen) → title wave-min REGISTER (title-seen sites, post-URL
+             rows only — oracle ordering);
+          C. title RESOLVE+insert → vectorized relevance + finalize,
+             unioned with A's non-candidate rows, collected once and split
+             driver-side by rowkind.
+        """
         cfg = self.cfg
         wp, policy = cfg.web_params, cfg.policy
-        fr = ray.data.from_arrow(frontier)
+        metrics = self.metrics
+        ray.get([sh.begin_wave.remote() for sh in self.seen_shards])
 
+        tsites = [s for s, c in SITES.items() if c.title_seen]
+        tsites_arr = pa.array(tsites)
+        url_wave = WaveMinStage(self.seen_shards, "u", "site", "canon_url")
+        title_wave = WaveMinStage(self.seen_shards, "t", "site", "title")
+
+        # -- execution A: schedule → fetch+parse → gate → URL register ------
         sched_fn = ScheduleGroup(self.schedulers)
-        scheduled = (
-            fr.groupby("host")
+
+        def fetch_parse_m(b: pa.Table) -> pa.Table:
+            out = fetch_parse(b, wp, policy)
+            metrics.incr.remote(wave, "pages_fetched", b.num_rows)
+            metrics.incr.remote(
+                wave,
+                "items_parsed",
+                int(pc.sum(pc.equal(out["rowkind"], "cand")).as_py() or 0),
+            )
+            metrics.incr.remote(
+                wave,
+                "docs_emitted",
+                int(pc.sum(pc.equal(out["rowkind"], "doc")).as_py() or 0),
+            )
+            return out
+
+        def gate_register(b: pa.Table) -> pa.Table:
+            is_cand = pc.equal(b["rowkind"], "cand")
+            others = b.filter(pc.invert(is_cand))
+            cands = cand_gate(b.filter(is_cand), policy)
+            metrics.incr.remote(wave, "cand_admitted", cands.num_rows)
+            cands = url_wave.register(cands)
+            return pa.concat_tables(
+                [others.select(WAVE_SCHEMA.names), cands.select(WAVE_SCHEMA.names)]
+            )
+
+        parsed = (
+            ray.data.from_arrow(frontier)
+            .repartition(cfg.repartition_blocks)  # parallel sort-map input
+            .groupby("host")
             .map_groups(lambda g: sched_fn(g), batch_format="pandas")
-            .repartition(cfg.repartition_blocks)  # skew-spread hot hosts
-            .materialize()
-        )
-        fetch_log_tbl = _collect(
-            scheduled.select_columns(list(FETCH_LOG_SCHEMA.names)), FETCH_LOG_SCHEMA
-        )
-        fetch_log_tbl = fetch_log_tbl.append_column(
-            "wave", pa.array([wave] * fetch_log_tbl.num_rows, pa.int32())
+            .repartition(cfg.repartition_blocks, shuffle=True)  # skew-spread
+            .map_batches(fetch_parse_m, batch_format="pyarrow", batch_size=cfg.batch_size)
+            # batch_size=None: inherit the fused task's output batches — an
+            # explicit batch_size larger than the upstream block size makes
+            # Ray COALESCE all blocks into one task (serial wave!)
+            .map_batches(gate_register, batch_format="pyarrow")
+            .materialize()  # barrier: all URL wave-min registrations durable
         )
 
-        parsed = scheduled.map_batches(
-            lambda b: fetch_parse(b, wp, policy),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-        ).materialize()
+        # -- execution B: URL resolve → title register ----------------------
+        def resolve_register_titles(b: pa.Table) -> pa.Table:
+            accepted = url_wave.resolve(b)
+            t_rows = accepted.filter(pc.is_in(accepted["site"], value_set=tsites_arr))
+            if t_rows.num_rows:
+                title_wave.register(t_rows)
+            return accepted
 
-        # candidate chain: gate → bucket dedup → URL seen-filter
-        url_seen_fn = SeenFilterStage(self.seen_shards, "u", "site", "canon_url")
-        c3 = (
+        accepted = (
             parsed.map_batches(keep_rowkind("cand"), batch_format="pyarrow")
-            .map_batches(
-                lambda b: cand_gate(b, policy, cfg.dedup_buckets),
-                batch_format="pyarrow",
-            )
-            .groupby("bucket")
-            .map_groups(
-                lambda g: dedup_min_seq(g, ["site", "canon_url"]),
-                batch_format="pandas",
-            )
-            .drop_columns(["bucket"])
-            .map_batches(lambda b: url_seen_fn(b), batch_format="pyarrow", batch_size=4096)
-            .materialize()  # consume seen-shard side effects exactly once
+            # candidates concentrate in the listing-bearing blocks; spread
+            # them so resolve/relevance parallelize across the cluster
+            .repartition(cfg.repartition_blocks)
+            .map_batches(resolve_register_titles, batch_format="pyarrow")
+            .materialize()  # barrier: title registrations durable
         )
 
-        # exact-title dedup (title-seen sites): within-wave min-seq, then the
-        # shard pool's 't' keyspace. AFTER the URL filter, so a URL-rejected
-        # row cannot shadow a later title (oracle semantics).
-        tsites = pa.array([s for s, c in SITES.items() if c.title_seen])
-        title_seen_fn = SeenFilterStage(self.seen_shards, "t", "site", "title")
-        tpart = (
-            c3.map_batches(
-                lambda b: b.filter(pc.is_in(b["site"], value_set=tsites)),
-                batch_format="pyarrow",
+        # -- execution C: title resolve → relevance/finalize → collect ------
+        def title_resolve_split(b: pa.Table) -> pa.Table:
+            is_t = pc.is_in(b["site"], value_set=tsites_arr)
+            resolved = title_wave.resolve(b.filter(is_t))
+            return pa.concat_tables(
+                [resolved.select(WAVE_SCHEMA.names),
+                 b.filter(pc.invert(is_t)).select(WAVE_SCHEMA.names)]
             )
-            .map_batches(
-                lambda b: add_bucket(b, ["site", "title"], cfg.dedup_buckets),
-                batch_format="pyarrow",
+
+        def relevance_finalize_m(b: pa.Table) -> pa.Table:
+            out = relevance_finalize(b, wp, policy)
+            metrics.incr.remote(
+                wave,
+                "docs_emitted",
+                int(pc.sum(pc.equal(out["rowkind"], "doc")).as_py() or 0),
             )
-            .groupby("bucket")
-            .map_groups(
-                lambda g: dedup_min_seq(g, ["site", "title"]), batch_format="pandas"
-            )
-            .drop_columns(["bucket"])
-            .map_batches(lambda b: title_seen_fn(b), batch_format="pyarrow", batch_size=4096)
-        )
-        rest = c3.map_batches(
-            lambda b: b.filter(pc.invert(pc.is_in(b["site"], value_set=tsites))),
+            return out
+
+        done = accepted.map_batches(
+            title_resolve_split, batch_format="pyarrow"
+        ).map_batches(relevance_finalize_m, batch_format="pyarrow")
+        leftovers = parsed.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b["rowkind"], "cand"))),
             batch_format="pyarrow",
+        )
+        comb = leftovers.union(done).materialize()
+        # doc and fetch-log rows STAY in the object store (consumed by
+        # finalize/checkpoint); only the next-frontier control rows come
+        # back to the driver each wave.
+        docs_ds = comb.map_batches(keep_rowkind("doc"), batch_format="pyarrow")
+
+        def flog_rows(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["rowkind"], "flog")).select(FETCH_LOG_SCHEMA.names)
+            return t.append_column("wave", pa.array([wave] * t.num_rows, pa.int32()))
+
+        flog_ds = comb.map_batches(flog_rows, batch_format="pyarrow")
+        control = _collect(
+            comb.map_batches(
+                lambda b: b.filter(
+                    pc.is_in(b["rowkind"], value_set=pa.array(["next", "frontier"]))
+                ),
+                batch_format="pyarrow",
+            ),
+            WAVE_SCHEMA,
         )
 
-        # relevance + finalize/forward, then split on the materialized result
-        done = (
-            tpart.union(rest)
-            .map_batches(
-                lambda b: relevance_finalize(b, wp, policy),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-            )
-            .materialize()
+        kinds = control["rowkind"]
+        nexts = control.filter(pc.equal(kinds, "next"))
+        nexts = nexts.append_column("kind", pa.array(["listing"] * nexts.num_rows))
+        twohop = control.filter(pc.equal(kinds, "frontier"))
+        twohop = twohop.append_column("kind", pa.array(["article"] * twohop.num_rows))
+        next_tbl = pa.concat_tables(
+            [t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA) for t in (nexts, twohop)]
         )
-        docs = parsed.map_batches(keep_rowkind("doc"), batch_format="pyarrow").union(
-            done.map_batches(keep_rowkind("doc"), batch_format="pyarrow")
+        self._last_wave_candidates = int(
+            ray.get(self.metrics.wave_totals.remote(wave)).get("items_parsed", 0)
         )
-        docs_tbl = _collect(docs, WAVE_SCHEMA)
-
-        nexts = parsed.map_batches(keep_rowkind("next"), batch_format="pyarrow").map_batches(
-            lambda b: b.append_column("kind", pa.array(["listing"] * b.num_rows)),
-            batch_format="pyarrow",
-        )
-        twohop = done.map_batches(keep_rowkind("frontier"), batch_format="pyarrow").map_batches(
-            lambda b: b.append_column("kind", pa.array(["article"] * b.num_rows)),
-            batch_format="pyarrow",
-        )
-        next_tbl = _collect(nexts.union(twohop), FRONTIER_SCHEMA)
-        return docs_tbl, next_tbl, fetch_log_tbl
+        return docs_ds, next_tbl, flog_ds
 
     # -- full run -------------------------------------------------------------
 
-    def run(self, frontier: pa.Table | None = None) -> dict:
+    def run(self, frontier: pa.Table | None = None, streaming_finalize: bool = False) -> dict:
         from . import checkpoint as ckpt
 
         cfg = self.cfg
@@ -534,12 +618,14 @@ class CrawlPipeline:
             docs, nxt, flog = self.run_wave(wave, frontier)
             self.doc_tables.append(docs)
             self.fetch_logs.append(flog)
+            totals = ray.get(self.metrics.wave_totals.remote(wave))
             self.wave_metrics.append(
                 {
                     "wave": wave,
                     "frontier": frontier.num_rows,
-                    "fetched": flog.num_rows,
-                    "docs": docs.num_rows,
+                    "fetched": int(totals.get("pages_fetched", 0)),
+                    "candidates": getattr(self, "_last_wave_candidates", 0),
+                    "docs": int(totals.get("docs_emitted", 0)),
                     "next_frontier": nxt.num_rows,
                 }
             )
@@ -550,17 +636,29 @@ class CrawlPipeline:
                 )
             frontier = nxt
             wave += 1
-        return self.finalize()
+        return self.finalize_streaming() if streaming_finalize else self.finalize()
 
     # -- post-crawl assembly --------------------------------------------------
 
+    FLOG_W_SCHEMA = pa.schema(list(FETCH_LOG_SCHEMA) + [pa.field("wave", pa.int32())])
+
     def finalize(self) -> dict:
+        """Materializing finalize (tests / small runs): pulls docs + fetch
+        log to the driver as Arrow tables."""
+        tbls = [
+            t if isinstance(t, pa.Table) else _collect(t, WAVE_SCHEMA)
+            for t in self.doc_tables
+        ]
         docs = (
-            pa.concat_tables(self.doc_tables)
-            if self.doc_tables
+            pa.concat_tables(tbls)
+            if tbls
             else pa.Table.from_pydict(_empty_wave_dict(), schema=WAVE_SCHEMA)
         )
-        flog = pa.concat_tables(self.fetch_logs) if self.fetch_logs else None
+        ftbls = [
+            t if isinstance(t, pa.Table) else _collect(t, self.FLOG_W_SCHEMA)
+            for t in self.fetch_logs
+        ]
+        flog = pa.concat_tables(ftbls) if ftbls else None
         arts = docs.select(ARTICLE_COLS).sort_by("discovered_seq")
         arts = _fuzzy_pass(arts)
         return {
@@ -570,34 +668,90 @@ class CrawlPipeline:
             "wave_metrics": self.wave_metrics,
         }
 
+    def finalize_streaming(self) -> dict:
+        """Scale-path finalize: article/document rows never aggregate on the
+        driver. Only the fuzzy-site (site, title, seq) columns are pulled for
+        the order-dependent near-dup scan; the resulting drop-set broadcasts
+        back and the final tables remain distributed Datasets."""
+        fuzzy_sites = pa.array([s for s, c in SITES.items() if c.fuzzy_dedup])
+        doc_ds_list = [
+            t if not isinstance(t, pa.Table) else ray.data.from_arrow(t)
+            for t in self.doc_tables
+        ]
+        if not doc_ds_list:
+            empty = ray.data.from_arrow(
+                pa.Table.from_pydict(_empty_wave_dict(), schema=WAVE_SCHEMA)
+            )
+            doc_ds_list = [empty]
+        docs_ds = doc_ds_list[0]
+        for d in doc_ds_list[1:]:
+            docs_ds = docs_ds.union(d)
+        docs_ds = docs_ds.materialize()
+
+        fz_cols = _collect(
+            docs_ds.map_batches(
+                lambda b: b.filter(pc.is_in(b["site"], value_set=fuzzy_sites)).select(
+                    ["site", "title", "discovered_seq"]
+                ),
+                batch_format="pyarrow",
+            ),
+            pa.schema(
+                [("site", pa.string()), ("title", pa.string()), ("discovered_seq", pa.int64())]
+            ),
+        ).sort_by("discovered_seq")
+        kept = _fuzzy_pass(fz_cols)
+        dropped = set(fz_cols["discovered_seq"].to_pylist()) - set(
+            kept["discovered_seq"].to_pylist()
+        )
+        drop_ref = ray.put(frozenset(dropped))
+
+        def drop_fuzzy(b: pa.Table) -> pa.Table:
+            drops = ray.get(drop_ref)
+            if not drops:
+                return b.select(ARTICLE_COLS)
+            keep = [s not in drops for s in b["discovered_seq"].to_pylist()]
+            return b.filter(pa.array(keep, pa.bool_())).select(ARTICLE_COLS)
+
+        arts_ds = docs_ds.map_batches(drop_fuzzy, batch_format="pyarrow")
+        documents_ds = arts_ds.map_batches(_spans_batch, batch_format="pyarrow")
+        return {
+            "articles_ds": arts_ds,
+            "documents_ds": documents_ds,
+            "fetch_logs": self.fetch_logs,
+            "wave_metrics": self.wave_metrics,
+        }
+
 
 def _fuzzy_pass(arts: pa.Table) -> pa.Table:
     """Order-dependent fuzzy title dedup for fuzzy-enabled sites; sequential
     by definition (SURVEY §7.5.2) — one pass over the accepted set, per
-    site, in discovered_seq order, threshold preserved verbatim."""
+    site, in discovered_seq order, threshold preserved verbatim. Exact
+    normalized-title repeats short-circuit (ratio 100 ≥ any threshold)
+    before the bit-parallel LCS scan."""
     fuzzy_sites = {s for s, c in SITES.items() if c.fuzzy_dedup}
     if not fuzzy_sites:
         return arts
     keep = []
     mem: dict[str, list[str]] = {s: [] for s in fuzzy_sites}
+    mem_exact: dict[str, set] = {s: set() for s in fuzzy_sites}
     for s, t in zip(arts["site"].to_pylist(), arts["title"].to_pylist()):
         if s in fuzzy_sites:
             cfg = SITES[s]
-            if fuzzy_is_dup(t, mem[s], cfg.fuzzy_threshold):
+            norm = normalize_for_fuzzy(t)
+            if norm in mem_exact[s] or fuzzy_is_dup(t, mem[s], cfg.fuzzy_threshold):
                 keep.append(False)
                 continue
-            mem[s].append(normalize_for_fuzzy(t))
+            mem[s].append(norm)
+            mem_exact[s].add(norm)
         keep.append(True)
     return arts.filter(pa.array(keep, pa.bool_()))
 
 
-def articles_to_documents(arts: pa.Table) -> pa.Table:
-    """Span pivot: flat article rows → interleaved documents rows
-    (input_hint schema)."""
+def _spans_batch(b: pa.Table) -> pa.Table:
     from .schema import DOCUMENTS, SPAN_STRUCT
 
     doc_ids, spans = [], []
-    for rec in arts.to_pylist():
+    for rec in b.to_pylist():
         cfg = SITES[rec["site"]]
         doc_ids.append(rec["url"])
         spans.append(article_spans(rec, cfg))
@@ -608,6 +762,22 @@ def articles_to_documents(arts: pa.Table) -> pa.Table:
         },
         schema=DOCUMENTS,
     )
+
+
+def articles_to_documents(arts: pa.Table) -> pa.Table:
+    """Span pivot: flat article rows → interleaved documents rows
+    (input_hint schema). Large tables pivot in parallel via a short Ray
+    map_batches; small ones locally."""
+    from .schema import DOCUMENTS
+
+    if arts.num_rows > 20000 and ray.is_initialized():
+        ds = (
+            ray.data.from_arrow(arts)
+            .repartition(16)
+            .map_batches(_spans_batch, batch_format="pyarrow", batch_size=8192)
+        )
+        return _collect(ds, DOCUMENTS)
+    return _spans_batch(arts)
 
 
 def day_grouped(arts: pa.Table) -> list[dict]:
@@ -636,7 +806,15 @@ def day_grouped(arts: pa.Table) -> list[dict]:
 
 def _collect(ds: ray.data.Dataset, schema: pa.Schema) -> pa.Table:
     refs = ds.to_arrow_refs()
-    tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    blocks = ray.get(refs)
+    tables = []
+    for t in blocks:
+        if isinstance(t, pd.DataFrame):  # empty/edge blocks can come back pandas
+            if len(t) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows > 0:
+            tables.append(t)
     if not tables:
         return pa.Table.from_pydict({n: [] for n in schema.names}, schema=schema)
     out = pa.concat_tables(

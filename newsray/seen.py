@@ -22,8 +22,8 @@ calls: one round-trip per (batch × shard), ≥1k keys per call.
 from __future__ import annotations
 
 import hashlib
+import random
 
-import numpy as np
 import ray
 
 
@@ -42,6 +42,9 @@ class CuckooFilter:
     candidate buckets ``i`` and ``i ^ h(fp)``, bounded eviction chain.
     No false negatives; false positives resolved by the exact backing set."""
 
+    # Plain Python lists beat tiny-array numpy by ~10× for single-key ops —
+    # this filter serves per-key RPCs, not vectorized scans.
+
     def __init__(self, capacity: int, bucket_size: int = 4, max_kicks: int = 500):
         n = 1
         while n * bucket_size < capacity * 1.25:
@@ -49,9 +52,11 @@ class CuckooFilter:
         self.n_buckets = n
         self.bucket_size = bucket_size
         self.max_kicks = max_kicks
-        self.table = np.zeros((n, bucket_size), dtype=np.uint16)
+        self.table: list[list[int]] = [[] for _ in range(n)]  # fingerprints per bucket
         self.count = 0
-        self._rng = np.random.default_rng(0xC0FFEE)  # eviction choice only
+        self._rng = random.Random(0xC0FFEE)  # eviction choice only
+        # memoized alt-index hash per fingerprint value (≤65535 entries)
+        self._alt_cache: dict[int, int] = {}
 
     def _fp_index(self, key: str) -> tuple[int, int]:
         h = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
@@ -60,10 +65,14 @@ class CuckooFilter:
         return fp, i1
 
     def _alt(self, i: int, fp: int) -> int:
-        h = int.from_bytes(
-            hashlib.blake2b(fp.to_bytes(2, "little"), digest_size=8).digest(), "little"
-        )
-        return (i ^ h) % self.n_buckets
+        hv = self._alt_cache.get(fp)
+        if hv is None:
+            hv = int.from_bytes(
+                hashlib.blake2b(fp.to_bytes(2, "little"), digest_size=8).digest(),
+                "little",
+            )
+            self._alt_cache[fp] = hv
+        return (i ^ hv) % self.n_buckets
 
     def contains(self, key: str) -> bool:
         fp, i1 = self._fp_index(key)
@@ -75,22 +84,20 @@ class CuckooFilter:
         fp, i1 = self._fp_index(key)
         for i in (i1, self._alt(i1, fp)):
             row = self.table[i]
-            empty = np.flatnonzero(row == 0)
-            if empty.size:
-                row[empty[0]] = fp
+            if len(row) < self.bucket_size:
+                row.append(fp)
                 self.count += 1
                 return True
         # evict along a bounded chain
-        i = i1 if self._rng.integers(2) else self._alt(i1, fp)
+        i = i1 if self._rng.getrandbits(1) else self._alt(i1, fp)
         cur = fp
         for _ in range(self.max_kicks):
-            slot = int(self._rng.integers(self.bucket_size))
-            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            slot = self._rng.randrange(self.bucket_size)
+            cur, self.table[i][slot] = self.table[i][slot], cur
             i = self._alt(i, cur)
             row = self.table[i]
-            empty = np.flatnonzero(row == 0)
-            if empty.size:
-                row[empty[0]] = cur
+            if len(row) < self.bucket_size:
+                row.append(cur)
                 self.count += 1
                 return True
         return False  # table effectively full (callers size capacity up front)
@@ -121,6 +128,46 @@ class SeenShard:
             out.append(new)
         return out
 
+    # -- two-phase within-wave min-seq protocol (shuffle-free dedup) --------
+    #
+    # A wave's duplicate candidates must resolve deterministically to the
+    # minimum discovered_seq (SURVEY §7.5.1). Instead of a hash-partitioned
+    # groupby (an all-to-all shuffle per wave), the pipeline exploits that
+    # all copies of a key already hash-route to THIS shard:
+    #   phase 1 (register_wave_min) runs inside the previous execution —
+    #     every candidate reports (key, seq); the shard keeps the per-key
+    #     minimum. The execution's materialize barrier guarantees all
+    #     registrations land before phase 2 starts.
+    #   phase 2 (resolve_insert) accepts exactly the row whose seq equals
+    #     the registered wave-minimum AND whose key is new across waves,
+    #     then inserts it (cuckoo + exact).
+
+    def begin_wave(self) -> None:
+        self.wave_min: dict[str, int] = {}
+
+    def register_wave_min(self, keys: list[str], seqs: list[int]) -> int:
+        wm = self.wave_min
+        for k, s in zip(keys, seqs):
+            prev = wm.get(k)
+            if prev is None or s < prev:
+                wm[k] = s
+        return len(wm)
+
+    def resolve_insert(self, keys: list[str], seqs: list[int]) -> list[bool]:
+        out = []
+        wm = self.wave_min
+        for k, s in zip(keys, seqs):
+            if wm.get(k) != s:
+                out.append(False)  # a same-wave duplicate with smaller seq wins
+                continue
+            if self.cuckoo.contains(k) and k in self.exact:
+                out.append(False)  # seen in an earlier wave
+                continue
+            self.cuckoo.insert(k)
+            self.exact.add(k)
+            out.append(True)
+        return out
+
     def contains(self, keys: list[str]) -> list[bool]:
         return [k in self.exact for k in keys]
 
@@ -143,6 +190,66 @@ def make_seen_pool(n_shards: int, capacity_per_shard: int = 1 << 16) -> list:
     return [
         SeenShard.remote(i, capacity_per_shard) for i in range(n_shards)
     ]
+
+
+class WaveMinStage:
+    """``map_batches`` callables for the two-phase protocol above. Both block
+    on the shard RPCs (ray.get) so the enclosing execution's barrier
+    guarantees completion ordering."""
+
+    def __init__(self, shards: list, keyspace: str, site_col: str, key_col: str):
+        self.shards = shards
+        self.keyspace = keyspace
+        self.site_col = site_col
+        self.key_col = key_col
+
+    def _keys(self, batch) -> list[str]:
+        sites = batch[self.site_col].to_pylist()
+        vals = batch[self.key_col].to_pylist()
+        return [f"{self.keyspace}:{s}\x1f{v}" for s, v in zip(sites, vals)]
+
+    def _by_shard(self, keys: list[str]) -> dict[int, list[int]]:
+        n = len(self.shards)
+        by: dict[int, list[int]] = {}
+        for idx, k in enumerate(keys):
+            by.setdefault(shard_of(k, n), []).append(idx)
+        return by
+
+    def register(self, batch):
+        if batch.num_rows == 0:
+            return batch
+        keys = self._keys(batch)
+        seqs = batch["discovered_seq"].to_pylist()
+        futs = [
+            self.shards[sid].register_wave_min.remote(
+                [keys[r] for r in rows], [seqs[r] for r in rows]
+            )
+            for sid, rows in self._by_shard(keys).items()
+        ]
+        ray.get(futs)  # barrier within the task: registrations are durable
+        return batch
+
+    def resolve(self, batch):
+        import pyarrow as pa
+
+        if batch.num_rows == 0:
+            return batch
+        keys = self._keys(batch)
+        seqs = batch["discovered_seq"].to_pylist()
+        by = self._by_shard(keys)
+        futs, idxs = [], []
+        for sid, rows in by.items():
+            futs.append(
+                self.shards[sid].resolve_insert.remote(
+                    [keys[r] for r in rows], [seqs[r] for r in rows]
+                )
+            )
+            idxs.append(rows)
+        mask = [False] * len(keys)
+        for rows, res in zip(idxs, ray.get(futs)):
+            for r, ok in zip(rows, res):
+                mask[r] = ok
+        return batch.filter(pa.array(mask, pa.bool_()))
 
 
 class SeenFilterStage:
