@@ -165,13 +165,13 @@ def main() -> None:
         # capped near 0.5 efficiency regardless of the engine, so the
         # two-cluster-size criterion is evidenced at 2 vs 8 CPUs, both
         # inside the machine's real core budget (see BASELINE.md).
-        lo, hi = 2, 8
+        lo, hi = int(os.environ.get("BENCH_CPUS_LO", "2")), int(os.environ.get("BENCH_CPUS_HI", "8"))
         r_lo, r_hi = run_sub(lo), run_sub(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(
             json.dumps(
                 {
-                    "metric": "crawl scaling efficiency (fresh ray.init at N=2 vs 4N=8 CPUs)",
+                    "metric": f"crawl scaling efficiency (fresh ray.init at N={lo} vs 4N={hi} CPUs)",
                     "value": round(eff, 3),
                     "unit": "efficiency",
                     "sec_lo": r_lo["value"],

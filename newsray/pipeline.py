@@ -1,15 +1,15 @@
 """The Ray-Data-native crawl pipeline: BFS wave loop over the frontier
 (SURVEY.md §3.5, §7).
 
-Each wave is one streaming Dataset pipeline:
+Each wave is a small number of streaming Dataset executions:
 
     frontier ──groupby(host)→ politeness/budget schedule (actor RPC, 1/host)
              ──repartition→ skew-spread released rows
              ──map_batches(fetch+parse, fused)→ items/docs  [payload never leaves the stage]
-             ──map_batches(candidate gate)→ validity/canonicalize/robots + bucket
-             ──groupby(bucket)→ within-wave exact dedup (min-seq wins)
-             ──map_batches(SeenFilter)→ cuckoo-shard RPC (url keyspace)
-             ──[title keyspace for the 3 title-seen sites]
+             ──map_batches(candidate gate)→ validity/canonicalize/robots
+             ──URL wave-min REGISTER ─barrier─ RESOLVE+insert (cuckoo shards;
+               shuffle-free within-wave min-seq dedup — see seen.py)
+             ──title REGISTER ─barrier─ RESOLVE (title-seen sites)
              ──map_batches(relevance + finalize)→ docs + next-frontier rows
 
 Design notes for 10^10-URL scale:
@@ -25,11 +25,12 @@ Design notes for 10^10-URL scale:
   per-wave pool spin-up.
 * Wave barriers are inherent to BFS frontier feedback; what crosses a wave
   boundary is bounded metadata (frontier rows, article spans), not bytes.
-* The all-to-all exchanges per wave: groupby(host) for politeness (ONE
-  batched RPC per host per wave) and groupby(hash bucket) for exact dedup.
-  A hot host's released rows are spread across blocks by an explicit
-  repartition before the heavy fetch/parse stages (north_rule skew
-  splitting: one token bucket per host, many fetch workers).
+* The only per-wave all-to-all exchange is groupby(host) for politeness
+  (ONE batched RPC per host per wave); exact dedup is shuffle-free via the
+  shards' two-phase min-seq protocol. A hot host's released rows are spread
+  across blocks by an explicit repartition before the heavy fetch/parse
+  stages (north_rule skew splitting: one token bucket per host, many fetch
+  workers).
 * Datasets downstream of seen-filter stages are materialized exactly once
   before branching — re-executing a lazy plan with actor side effects would
   double-insert into the shards.

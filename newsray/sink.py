@@ -1,0 +1,115 @@
+"""Output sinks (SURVEY.md §2.1 K1-K3, §2.6 O1-O3).
+
+The reference rewrites one whole JSON file per site per run (day-grouped,
+merged, deduped at save time) and a JS aggregator keeps a newest-50 feed.
+Here the same shapes become:
+
+* ``write_documents`` — the interleaved documents table as PARTITIONED
+  parquet, one directory per (site, date_group): the resumable layout
+  (a rerun skips finished partitions; nothing is one giant file). Lance is
+  not installed in this sandbox; the writer targets an identical Arrow
+  schema so a Lance backend is a drop-in (SURVEY §7.5.6).
+* ``day_grouped_export`` — the reference's per-site day-group JSON shape
+  (articles time-desc inside a group for sort-in-group sites, discovery
+  order otherwise; day groups sorted by date label).
+* ``newest_feed`` — the aggregator's capped rolling feed: global top-K by
+  (time desc, url) over the articles table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .pipeline import articles_to_documents, day_grouped
+from .sites import SITES
+
+
+def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
+    """Write interleaved documents partitioned by (site, date_group digest).
+
+    Partition key uses the article's site and day so a resumed run can skip
+    complete partitions; written atomically (tmp file + rename)."""
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    sites = arts["site"].to_pylist()
+    dates = arts["date_group"].to_pylist()
+    by_part: dict[tuple[str, str], list[int]] = {}
+    for i, (s, d) in enumerate(zip(sites, dates)):
+        day = d.split(" ")[2][:-1] if len(d.split(" ")) > 2 else "unknown"  # DD일 → DD
+        by_part.setdefault((s, day), []).append(i)
+    for (site, day), idxs in sorted(by_part.items()):
+        part = arts.take(idxs)
+        docs = articles_to_documents(part)
+        pdir = os.path.join(out_dir, f"site={site}", f"day={day}")
+        os.makedirs(pdir, exist_ok=True)
+        path = os.path.join(pdir, "part-0.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(docs, tmp)
+        os.replace(tmp, path)
+        written.append(path)
+    # manifest of completed partitions (the resume skip-list)
+    manifest = os.path.join(out_dir, "_manifest.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(f"site={s}/day={d}" for s, d in by_part), f)
+    os.replace(tmp, manifest)
+    return written
+
+
+def read_documents(out_dir: str) -> pa.Table:
+    return pq.read_table(out_dir)
+
+
+def day_grouped_export(arts: pa.Table, out_dir: str) -> dict[str, str]:
+    """One JSON file per site, in the reference's day-grouped output shape:
+    ``[{date, articles: [{title, time, img, url, original_url[, summary]}]}]``
+    (K1; iso times, absent summary omitted — per-site record shapes)."""
+    os.makedirs(out_dir, exist_ok=True)
+    groups = day_grouped(arts)
+    by_site: dict[str, list[dict]] = {}
+    for g in groups:
+        entry = {"date": g["date"], "articles": []}
+        for a in g["articles"]:
+            rec = {
+                "title": a["title"],
+                "time": a["time"].isoformat(),
+                "img": a["img"],
+                "url": a["url"],
+                "original_url": a["original_url"],
+            }
+            if SITES[g["site"]].has_summary and a.get("summary"):
+                rec["summary"] = a["summary"]
+            entry["articles"].append(rec)
+        by_site.setdefault(g["site"], []).append(entry)
+    paths = {}
+    for site in SITES:  # K2: every site gets a well-formed file, even empty
+        payload = sorted(by_site.get(site, []), key=lambda e: e["date"])
+        path = os.path.join(out_dir, f"{site}_News.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(payload, f, ensure_ascii=False, indent=2)
+        os.replace(tmp, path)
+        paths[site] = path
+    return paths
+
+
+def newest_feed(arts: pa.Table, cap: int = 50) -> pa.Table:
+    """The aggregator's capped rolling feed (K3/O3): newest ``cap`` items by
+    (time desc, url asc), link-deduped."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        arts, sort_keys=[("time", "descending"), ("url", "ascending")]
+    )
+    sorted_arts = arts.take(order)
+    seen: set[str] = set()
+    keep = []
+    for u in sorted_arts["url"].to_pylist():
+        keep.append(u not in seen)
+        seen.add(u)
+    deduped = sorted_arts.filter(pa.array(keep, pa.bool_()))
+    return deduped.slice(0, cap)
