@@ -129,3 +129,72 @@ def media_meta(sf_dir: str):
         )
 
     return ds.map_batches(meta, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# video-style frame sampling
+# ---------------------------------------------------------------------------
+
+
+def make_video_payload(doc_id: int, text: str, n_frames: int = 24) -> bytes:
+    """Synthetic multi-frame payload: 4-byte frame count + fixed 32-byte
+    frames (blake2b-keyed). Stands in for a short video clip column."""
+    frames = [
+        hashlib.blake2b(f"{doc_id}:{i}:{text[:16]}".encode(), digest_size=32).digest()
+        for i in range(n_frames)
+    ]
+    return n_frames.to_bytes(4, "little") + b"".join(frames)
+
+
+class FrameSampler:
+    """Actor-pool stage: decode the frame container and keep every k-th
+    frame (the standard video pre-processing step). The frame-decode kernel
+    is the same deterministic stub pattern as MediaDecoder — the Ray-side
+    plumbing (stateful stage, small batches for wide rows, exploded
+    one-row-per-sampled-frame output) is the real, tested part."""
+
+    FRAME_BYTES = 32
+
+    def __init__(self, stride: int = 6):
+        self.stride = stride
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, digests = [], [], []
+        for doc_id, payload in zip(b["doc_id"].to_pylist(), b["media"].to_pylist()):
+            n = int.from_bytes(payload[:4], "little")
+            for i in range(0, n, self.stride):
+                start = 4 + i * self.FRAME_BYTES
+                frame = payload[start : start + self.FRAME_BYTES]
+                doc_ids.append(doc_id)
+                frame_idx.append(i)
+                digests.append(hashlib.blake2b(frame, digest_size=4).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame_digest": pa.array(digests, pa.string()),
+            }
+        )
+
+
+@register("video_frame_sample")  # binary decode — not SQL-expressible
+def video_frame_sample(sf_dir: str):
+    """documents → synthetic video column → actor-pool frame sampling
+    (every 6th of 24 frames → 4 rows per doc). Rows-only driver check."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        payloads = [
+            make_video_payload(d, t)
+            for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": b["doc_id"], "media": pa.array(payloads, pa.binary())}
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=128,  # wide binary rows → small batches
+        concurrency=2,
+    )

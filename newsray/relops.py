@@ -396,3 +396,107 @@ def user_session_counts(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+@register(
+    "avg_part_price_by_brand",
+    sql="""
+    SELECT p_brand, ROUND(AVG(p_retailprice), 2) AS avg_price,
+           COUNT(*) AS n_parts, MAX(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def avg_part_price_by_brand(sf_dir: str):
+    """Simple grouped aggregate over `part` (column-pruned read)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    out = ds.groupby("p_brand").aggregate(
+        Sum("p_retailprice", alias_name="_sum"),
+        Count(alias_name="n_parts"),
+        Max("p_size", alias_name="max_size"),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        avg = pc.divide(b["_sum"], pc.cast(b["n_parts"], pa.float64()))
+        b = b.append_column("avg_price", avg)
+        b = round_col(b, "avg_price", 2)
+        return b.select(["p_brand", "avg_price", "n_parts", "max_size"])
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+@register(
+    "supplier_balance_by_nation",
+    sql="""
+    SELECT n_name, ROUND(SUM(s_acctbal), 2) AS total_bal, COUNT(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_balance_by_nation(sf_dir: str):
+    """Broadcast dimension join (nation) + grouped aggregate over supplier."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    lut_ref = ray.put(
+        dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        names = [lut[k] for k in b["s_nationkey"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"n_name": pa.array(names, pa.string()), "s_acctbal": b["s_acctbal"]}
+        )
+
+    ds = read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("s_acctbal", alias_name="total_bal"), Count(alias_name="n_suppliers"))
+    )
+    return out.map_batches(lambda b: round_col(b, "total_bal", 2), batch_format="pyarrow")
+
+
+@register(
+    "top10_customers_by_revenue",
+    sql="""
+    SELECT c.c_name AS c_name,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_name
+    ORDER BY revenue DESC, c_name ASC LIMIT 10
+    """,
+)
+def top10_customers_by_revenue(sf_dir: str):
+    """Join + aggregate + global top-k: orders pre-aggregated by custkey
+    (partial combine before the key shuffle), the customer dimension
+    broadcast for the name lookup, then a distributed sort-limit."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    lut_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+
+    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = ds.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    )
+
+    def name_and_round(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        names = [lut[k] for k in b["o_custkey"].to_pylist()]
+        b = b.append_column("c_name", pa.array(names, pa.string()))
+        b = round_col(b, "revenue", 2)
+        return b.select(["c_name", "revenue", "n_orders"])
+
+    return (
+        agg.map_batches(name_and_round, batch_format="pyarrow")
+        .sort(["revenue", "c_name"], descending=[True, False])
+        .limit(10)
+    )
