@@ -352,16 +352,30 @@ def hourly_user_windows(sf_dir: str):
 
     ds = read(sf_dir, "events", ["user_id", "ts", "value"])
 
+    # High-cardinality keyed aggregate (~1 group per row): Ray's native
+    # groupby().aggregate() sort-aggregates per key and is ~8× slower here.
+    # Instead ONE coarse hash-partition shuffle (B buckets, B scales with
+    # the cluster) and a vectorized pandas aggregation inside each bucket.
+    B = 32
+
     def add_window(b: pd.DataFrame) -> pd.DataFrame:
         us = b["ts"].astype("datetime64[us]").astype("int64")  # epoch microseconds
         b = b[["user_id", "value"]].copy()
         b["hour_bucket"] = us // 3_600_000_000
+        b["part"] = b["user_id"] % B
         return b
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
     out = (
         ds.map_batches(add_window, batch_format="pandas")
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .groupby("part")
+        .map_groups(agg_bucket, batch_format="pandas")
     )
     return out.map_batches(lambda b: round_col(b, "sum_value", 4), batch_format="pyarrow")
 

@@ -79,6 +79,7 @@ class WebParams:
     hot_factor: int = 12  # google listings carry hot_factor× more items
     extra_sections: int = 0  # extra seed sections per site beyond the 86
     p_junk_href: float = 0.02
+    p_robots_path: float = 0.02  # hrefs under /priv/ — robots-disallowed by default policy
     p_dup_in_page: float = 0.05
     p_dup_cross_page: float = 0.04
     p_cross_host: float = 0.03
@@ -258,6 +259,8 @@ class SyntheticWeb:
     def raw_href(self, cfg: SiteConfig, aid: str, rng: random.Random) -> str:
         base = f"/art/{aid}"
         r = rng.random()
+        if r < self.params.p_robots_path:
+            return f"/priv/art/{aid}"  # served by fetch(), blocked by robots
         if r < 0.25:
             return f"https://{cfg.host}{base}?utm_source=rss&ref=list"
         if r < 0.40:
@@ -360,6 +363,11 @@ class SyntheticWeb:
                 return 200, cfg.encoding, html.encode(cfg.encoding)
             html = self.render_listing(cfg, seed_rank, page_no)
             return 200, cfg.encoding, html.encode(cfg.encoding)
+        if path.startswith("/priv/art/"):
+            aid = path.rsplit("/", 1)[-1]
+            if aid.startswith(cfg.site):
+                return 200, cfg.encoding, self.render_article(cfg, aid).encode(cfg.encoding)
+            return 404, cfg.encoding, b""
         am = _ARTICLE_RE.match(path)
         if am is not None:
             aid = am.group(1)
