@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -133,3 +134,60 @@ def knn_lsh_cosine(sf_dir: str):
         .sort(["cos_sim", "vec_id"], descending=[True, False])
         .limit(TOP_K)
     )
+
+
+@register(
+    "embedding_centroids",
+    sql="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
+           ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 4) AS c1,
+           ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 4) AS c2,
+           ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 4) AS c3
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_centroids(sf_dir: str):
+    """Vector aggregation: per-label centroid (first 4 dims shown — the SQL
+    oracle addresses list elements; the Ray side averages the full matrix
+    per batch and merges partial sums, the mergeable-sketch shape)."""
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        m = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        out = {"label": [], "part_n": [], "s0": [], "s1": [], "s2": [], "s3": []}
+        for lab in np.unique(labels):
+            rows = m[labels == lab]
+            out["label"].append(int(lab))
+            out["part_n"].append(int(rows.shape[0]))
+            for d in range(4):
+                out[f"s{d}"].append(float(rows[:, d].sum()))
+        return pa.Table.from_pydict(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("part_n", alias_name="n_vecs"),
+            Sum("s0", alias_name="_s0"),
+            Sum("s1", alias_name="_s1"),
+            Sum("s2", alias_name="_s2"),
+            Sum("s3", alias_name="_s3"),
+        )
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n_vecs"], pa.float64())
+        for d in range(4):
+            b = b.append_column(f"c{d}", pc.divide(b[f"_s{d}"], n))
+        from .tabular import round_col
+
+        for d in range(4):
+            b = round_col(b, f"c{d}", 4)
+        return b.select(["label", "n_vecs", "c0", "c1", "c2", "c3"])
+
+    return agg.map_batches(final, batch_format="pyarrow")
