@@ -1,10 +1,12 @@
 """URL canonicalization + validity (SURVEY.md §2.2 M4/M11).
 
-The reference canonicalizes in per-site ad-hoc ways (urljoin + drop
-query/params/fragment, ``//``-scheme fix, ``./``-relative and hostname-dot
-normalization for one aggregator site). Here it is ONE pure vectorizable
-stage producing ``canon_url`` + ``host`` — the engine's dedup and partition
-key — applied identically everywhere.
+The reference canonicalizes in per-site ad-hoc ways: urljoin + drop
+query/params/fragment (Nate_Crawler.py:84-86, YNA_Crawler.py:90-92),
+``//``-scheme fix, ``./``-relative and hostname-dot normalization for the
+aggregator site (Google_Crawler.py:177-191), javascript:/empty href drops
+(Daum_crawler.py:88-90, Nate_Crawler.py:79-82). Here it is ONE pure
+vectorizable stage producing ``canon_url`` + ``host`` — the engine's dedup
+and partition key — applied identically everywhere.
 """
 
 from __future__ import annotations

@@ -30,7 +30,19 @@ def _strptime(raw: str, fmt: str) -> datetime | None:
 
 
 def parse_one(raw: str, fmt_name: str, now: datetime) -> datetime | None:
-    """Parse ``raw`` with one named format; None if it does not match."""
+    """Parse ``raw`` with one named format; None if it does not match.
+
+    Format ↔ reference parity (paths under /root/reference/):
+      ymd_dot_hms     → Daum_crawler.py:116-127 ('%Y.%m.%d. %H:%M:%S')
+      hm_today        → Daum_crawler.py:116-127 (bare %H:%M → today)
+      ymd_dash_hms    → Naver_Crawler.py:73-84 (data-date-time attr)
+      md_hm_yearinject→ Nate_Crawler.py:108-118 / YNA_Crawler.py:108-117
+      ymd_dot_hm      → FnNews_Crawler.py:71-76 / Gukje_Crawler.py:70-76
+      korean_ymd      → VOA_Crawler.py:97-104 (%Y년 %m월 %d일 → midnight)
+      iso_z_kst       → Google_Crawler.py:85-98 (ISO-Z → UTC → +9h KST)
+      pipe_ymd_dash_hm→ FNToday_Crawler.py:83-88 (split('|')[-1])
+      ymd_dash_hm     → SkyDaily_Crawler.py:99-115 (cascade member)
+    """
     raw = raw.strip()
     if fmt_name == "ymd_dot_hms":  # 2025.04.18. 09:30:00
         return _strptime(raw, "%Y.%m.%d. %H:%M:%S")
@@ -88,7 +100,8 @@ def parse_cascade(raw: str | None, fmt_names: tuple[str, ...], now: datetime) ->
 
 
 def within_last_days(ts: datetime, now: datetime, days: int) -> bool:
-    """Recency window (google variant): keep ts within the last ``days``."""
+    """Recency window (google variant; Google_Crawler.py:101-109): keep ts
+    within the last ``days``."""
     return (now - ts) <= timedelta(days=days) and ts <= now + timedelta(days=1)
 
 
@@ -101,9 +114,10 @@ _ENG_WEEKDAYS = (
 def day_group_label(ts: datetime, weekday_style: str = "korean") -> str:
     """'YYYY년 MM월 DD일 <weekday>' label used as the day-group key.
 
-    ``korean`` → '…일 금요일'; ``english`` → '…일 Friday' (one reference site
-    regroups with an English weekday at save time — preserved as a per-site
-    flag rather than 'fixed').
+    ``korean`` → '…일 금요일' (Naver_Crawler.py:16-23); ``english`` →
+    '…일 Friday' (Daum_crawler.py:191-194 regroups with %A at save time,
+    inconsistent with its own header — preserved as a per-site flag rather
+    than 'fixed').
     """
     base = f"{ts.year}년 {ts.month:02d}월 {ts.day:02d}일"
     if weekday_style == "english":

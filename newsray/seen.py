@@ -112,19 +112,29 @@ class SeenShard:
         self.shard_id = shard_id
         self.cuckoo = CuckooFilter(capacity)
         self.exact: set[str] = set()
+        # If an insert ever fails (table beyond design load), the cuckoo can
+        # produce FALSE NEGATIVES; from then on every membership answer must
+        # consult the exact store (correctness over speed — SURVEY §7.5.5).
+        self.cuckoo_degraded = False
+
+    def _insert(self, k: str) -> None:
+        if not self.cuckoo.insert(k):
+            self.cuckoo_degraded = True
+        self.exact.add(k)
+
+    def _seen_before(self, k: str) -> bool:
+        if self.cuckoo_degraded:
+            return k in self.exact
+        return self.cuckoo.contains(k) and k in self.exact
 
     def check_and_insert(self, keys: list[str]) -> list[bool]:
         """For each key: True = first sighting (inserted now). Cuckoo fast
         path; exact set resolves false positives and is the authority."""
         out = []
         for k in keys:
-            if self.cuckoo.contains(k):
-                new = k not in self.exact  # false-positive resolution
-            else:
-                new = True  # cuckoo has no false negatives
+            new = not self._seen_before(k)
             if new:
-                self.cuckoo.insert(k)
-                self.exact.add(k)
+                self._insert(k)
             out.append(new)
         return out
 
@@ -160,11 +170,10 @@ class SeenShard:
             if wm.get(k) != s:
                 out.append(False)  # a same-wave duplicate with smaller seq wins
                 continue
-            if self.cuckoo.contains(k) and k in self.exact:
+            if self._seen_before(k):
                 out.append(False)  # seen in an earlier wave
                 continue
-            self.cuckoo.insert(k)
-            self.exact.add(k)
+            self._insert(k)
             out.append(True)
         return out
 
@@ -178,8 +187,7 @@ class SeenShard:
     def restore(self, keys: list[str]) -> int:
         for k in keys:
             if k not in self.exact:
-                self.exact.add(k)
-                self.cuckoo.insert(k)
+                self._insert(k)
         return len(self.exact)
 
     def size(self) -> int:

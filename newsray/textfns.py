@@ -32,10 +32,15 @@ class KeywordMatcher:
     """≥K-include-matches AND (optionally) no-exclude predicate, in the three
     matching semantics the reference sites use (SURVEY M7):
 
-    * ``wordset``  — keyword ∈ word-boundary token set of the text;
-    * ``substring``— raw substring containment (matches inside words too);
+    * ``wordset``  — keyword ∈ word-boundary token set of the text
+      (FnNews_Crawler.py:36-40, FNToday_Crawler.py:51-55, Nate_Crawler.py:60-71);
+    * ``substring``— raw substring containment, matches inside words too
+      (Daum_crawler.py:75-85; Google_Crawler.py:65-82 adds the
+      ``min(2, len(include))`` floor → ``floor_on_small``);
     * ``regex``    — word-boundary regex search for includes, token-set
-      membership for excludes.
+      membership for excludes (Naver_Crawler.py:50-56, YNA_Crawler.py:60-68);
+    * no-exclude sites pass ``check_exclude=False``
+      (VOA_Crawler.py:45-51, Gukje_Crawler.py:45-49, SkyDaily_Crawler.py:49-55).
 
     Compiled once (actor ``__init__`` / closure capture — the keyword config
     is broadcast, never re-shipped per batch).
@@ -105,7 +110,7 @@ class KeywordMatcher:
 
 def normalize_for_fuzzy(title: str) -> str:
     """Lowercase + strip ALL whitespace (the normalization the reference's
-    fuzzy dedup applies before comparing)."""
+    fuzzy dedup applies before comparing — Google_Crawler.py:59-63)."""
     return collapse_ws(title.lower())
 
 
@@ -168,7 +173,8 @@ def fuzz_ratio(a: str, b: str) -> int:
 
 def fuzzy_is_dup(title: str, accepted_norm: list[str], threshold: int) -> bool:
     """Order-dependent near-dup check: compare against PREVIOUSLY ACCEPTED
-    titles in scan order; first-accepted-wins (SURVEY D3 — the aggressive
-    threshold is preserved verbatim, not 'fixed')."""
+    titles in scan order; first-accepted-wins (SURVEY D3;
+    Google_Crawler.py:231-238 — the aggressive threshold 35 is preserved
+    verbatim, not 'fixed')."""
     norm = normalize_for_fuzzy(title)
     return any(fuzz_ratio(norm, seen) >= threshold for seen in accepted_norm)

@@ -112,3 +112,26 @@ def test_seen_shard_check_and_insert(ray_session):
     shard2 = SeenShard.remote(1, 1 << 12)
     ray.get(shard2.restore.remote(dump))
     assert ray.get(shard2.check_and_insert.remote(["a", "e"])) == [False, True]
+
+
+def test_seen_shard_degraded_cuckoo_stays_exact(ray_session):
+    """If the cuckoo overflows (insert failure → possible false negatives),
+    the shard must fall back to the exact store — no duplicate acceptance."""
+    import ray
+
+    from newsray.seen import SeenShard
+
+    shard = SeenShard.remote(0, 64)  # tiny capacity → guaranteed overflow
+    keys = [f"k{i}" for i in range(2000)]
+    first = ray.get(shard.check_and_insert.remote(keys))
+    assert all(first)
+    again = ray.get(shard.check_and_insert.remote(keys))
+    assert not any(again)  # exact even though the filter is saturated
+    # two-phase protocol under saturation
+    ray.get(shard.begin_wave.remote())
+    more = [f"m{i}" for i in range(500)] + keys[:500]
+    seqs = list(range(len(more)))
+    ray.get(shard.register_wave_min.remote(more, seqs))
+    res = ray.get(shard.resolve_insert.remote(more, seqs))
+    assert res[:500] == [True] * 500  # new keys accepted
+    assert res[500:] == [False] * 500  # cross-wave seen rejected exactly
