@@ -23,6 +23,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -386,3 +387,101 @@ def dedup_embedding_cosine(sf_dir: str):
         )
 
     return ds.map_batches(block, batch_format="pyarrow", batch_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: pairs → connected components (what a training-data
+# pipeline actually consumes: one keeper per duplicate group)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_clusters")  # iterative algorithm — rows-only check
+def dedup_minhash_clusters(sf_dir: str):
+    """Connected components over the MinHash near-dup pair graph via
+    iterative min-label propagation expressed in Ray Data: each round,
+    every node adopts the minimum label among itself and its neighbours
+    (explode pair→2 directed edges, ONE groupby(node) min per round);
+    converges in O(diameter) rounds — duplicate-cluster diameters are tiny.
+    Driver-side work is only the per-round convergence check (count).
+
+    Returns (doc_id, cluster_id=min doc_id of the component, is_keeper).
+    """
+    import ray.data as rd
+
+    from ray.data.aggregate import Min
+
+    pairs_ds = dedup_minhash_lsh(sf_dir)
+    pairs = pairs_ds.to_pandas()  # candidate pairs are tiny vs the corpus
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster_id": pd.Series([], dtype="int64"),
+             "is_keeper": pd.Series([], dtype="bool")}
+        )
+    edges = pa.Table.from_pydict(
+        {
+            "node": pa.array(
+                list(pairs["doc_a"]) + list(pairs["doc_b"]), pa.int64()
+            ),
+            "nbr": pa.array(
+                list(pairs["doc_b"]) + list(pairs["doc_a"]), pa.int64()
+            ),
+        }
+    )
+    edges_ds = rd.from_arrow(edges)
+    # label(node) starts as node id; propagate min(label[nbr]) until fixed
+    labels = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "node": pc.unique(edges["node"]),
+                "label": pc.unique(edges["node"]),
+            }
+        )
+    ).materialize()
+    for _ in range(16):  # diameter bound; clusters here are near-cliques
+        lut = {
+            int(n): int(l)
+            for n, l in zip(
+                *[labels.to_pandas()[c] for c in ("node", "label")]
+            )
+        }
+        lut_ref = ray.put(lut)
+
+        def relabel(b: pa.Table) -> pa.Table:
+            m = ray.get(lut_ref)
+            lbl = [m[int(x)] for x in b["nbr"].to_pylist()]
+            return pa.Table.from_pydict(
+                {"node": b["node"], "cand": pa.array(lbl, pa.int64())}
+            )
+
+        new_labels = (
+            edges_ds.map_batches(relabel, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="nbr_min"))
+            .map_batches(
+                lambda b: pa.Table.from_pydict(
+                    {
+                        "node": b["node"],
+                        "label": pc.min_element_wise(
+                            b["nbr_min"],
+                            pa.array(
+                                [ray.get(lut_ref)[int(x)] for x in b["node"].to_pylist()],
+                                pa.int64(),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        labels = new_labels
+        if old["label"].equals(new["label"]):
+            break
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
+    out["is_keeper"] = out["doc_id"] == out["cluster_id"]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -109,3 +109,19 @@ def test_every_query_has_unique_registered_name(harness):
     qs, oracle = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracle) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_minhash_clusters_consistent_with_pairs(harness):
+    entrymod, _ = harness
+    qs = entrymod.queries()
+    pairs = _to_pandas(qs["dedup_minhash_lsh"](SF))
+    clusters = _to_pandas(qs["dedup_minhash_clusters"](SF))
+    lab = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    # every near-dup pair ends up in one component
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert lab[a] == lab[b]
+    # cluster id is the component minimum; exactly one keeper per cluster
+    grp = clusters.groupby("cluster_id")
+    for cid, g in grp:
+        assert cid == g["doc_id"].min()
+        assert int(g["is_keeper"].sum()) == 1
