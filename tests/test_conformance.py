@@ -146,3 +146,26 @@ def test_rerun_idempotence(ray_session):
         ray.get(shard.restore.remote(keys))
     r2 = p2.run()
     assert r2["articles"].num_rows == 0  # every candidate already seen
+
+
+def test_robots_and_drop_paths_exercised(full_run):
+    """The corpus must actually hit every drop path the engine implements —
+    a gate that never fires is untested code (robots, off-host, invalid,
+    junk-time, seen-dup, relevance, budgetless run)."""
+    _, _, ora = full_run
+    by_counter: dict[str, int] = {}
+    for (site, counter), v in ora.metrics.items():
+        by_counter[counter] = by_counter.get(counter, 0) + v
+    for counter in (
+        "dropped_robots",
+        "dropped_offhost",
+        "dropped_invalid",
+        "dropped_seen_url",
+        "dropped_seen_title",
+        "dropped_relevance",
+        "dropped_time",
+        "dropped_recency",
+        "dropped_fuzzy",
+        "accepted",
+    ):
+        assert by_counter.get(counter, 0) > 0, counter
