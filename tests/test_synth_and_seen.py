@@ -135,3 +135,23 @@ def test_seen_shard_degraded_cuckoo_stays_exact(ray_session):
     res = ray.get(shard.resolve_insert.remote(more, seqs))
     assert res[:500] == [True] * 500  # new keys accepted
     assert res[500:] == [False] * 500  # cross-wave seen rejected exactly
+
+
+def test_one_phase_seen_filter_stage(ray_session):
+    """The classic single-phase filter (used where min-seq determinism is
+    not required, e.g. ad-hoc dedup over an already-unique stream)."""
+    import pyarrow as pa
+    import ray
+
+    from newsray.seen import SeenFilterStage, make_seen_pool
+
+    shards = make_seen_pool(2, 1 << 10)
+    stage = SeenFilterStage(shards, "u", "site", "canon_url")
+    t = pa.Table.from_pydict(
+        {"site": ["a", "a", "b"], "canon_url": ["u1", "u1", "u1"]}
+    )
+    out = stage(t)
+    # first (a,u1) wins within the batch order; (b,u1) is a different key
+    assert out.num_rows == 2
+    out2 = stage(t)
+    assert out2.num_rows == 0
