@@ -43,7 +43,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from urllib.parse import urlparse
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -63,7 +62,7 @@ from .extract import (
 from .frontier import ScheduleGroup, make_scheduler_pool
 from .oracle import effective_page_cap, make_matcher
 from .policy import CrawlPolicy
-from .seen import SeenFilterStage, WaveMinStage, make_seen_pool, stable_hash64
+from .seen import WaveMinStage, make_seen_pool, stable_hash64
 from .sites import SITE_RANK, SITES
 from .synth import SyntheticWeb, WebParams
 from .textfns import KeywordMatcher, fuzzy_is_dup, html_to_text, normalize_for_fuzzy
@@ -352,6 +351,10 @@ def cand_gate(batch: pa.Table, policy: CrawlPolicy) -> pa.Table:
 
 
 def add_bucket(batch: pa.Table, key_cols: list[str], n_buckets: int) -> pa.Table:
+    """Hash-bucket column for the shuffle-based dedup alternative (the
+    two-phase actor protocol replaced it in the wave loop; kept as the
+    explicit-exchange variant for cluster configurations where the seen
+    shards would be the bottleneck)."""
     if batch.num_rows == 0:
         return batch.append_column("bucket", pa.array([], pa.int64()))
     cols = [batch[c].to_pylist() for c in key_cols]
