@@ -206,3 +206,44 @@ def test_make_seq_total_order():
     assert make_seq(0, 0, 0, 99, 5) < make_seq(0, 0, 1, 1, 0)
     assert make_seq(0, 0, 99, 1, 0) < make_seq(0, 1, 0, 1, 0)
     assert make_seq(0, 255, 0, 1, 0) < make_seq(1, 0, 0, 1, 0)
+
+
+def test_canonicalize_fast_path_equals_rfc_resolution():
+    """The regex fast path must agree with full urljoin/urlparse resolution
+    on every href shape the corpus (and reasonable webs) produce."""
+    import random
+
+    from urllib.parse import urljoin, urlparse, urlunparse
+
+    def slow(href, base):
+        h = href.strip()
+        if h.startswith("//"):
+            h = "https:" + h
+        elif h.startswith("./"):
+            h = h[1:]
+        h = h.replace(".test./", ".test/")
+        absu = urljoin(base, h)
+        p = urlparse(absu)
+        scheme = "https" if p.scheme in ("http", "https") else p.scheme
+        path = p.path or "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        host = p.netloc.lower()
+        return urlunparse((scheme, host, path, "", "", "")), host
+
+    rng = random.Random(7)
+    bases = [
+        "https://news.nate.test/sec/recent0",
+        "https://news.google.test/sec/topic3/p2",
+        "http://X.test/a/b/",
+    ]
+    forms = [
+        "/art/{i}", "//news.yna.test/art/{i}", "./art/{i}",
+        "https://news.voa.test/art/{i}?utm=1#x", "http://news.daum.test/art/{i}/",
+        "art/{i}", "../up/{i}", "/a/./b/{i}", "/priv/art/{i}",
+        "HTTPS://News.Test/art/{i}",
+    ]
+    for i in range(500):
+        h = rng.choice(forms).format(i=i)
+        for b in bases:
+            assert canonicalize(h, b) == slow(h, b), (h, b)
