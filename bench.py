@@ -144,12 +144,19 @@ def run_once() -> dict:
         "crawl_docs": n_docs,
         "queries_total_sec": round(sum(qtimes.values()), 3),
     }
-    ray.shutdown()
+    try:
+        ray.shutdown()
+    except Exception:
+        pass  # a flaky shutdown must not void the measured result
     return out
 
 
-def run_sub(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
+def run_sub(ncpu: int, crawl_only: bool = True) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_NO_RETRY="1")
+    if crawl_only:
+        env["BENCH_CRAWL_ONLY"] = "1"
+    else:
+        env.pop("BENCH_CRAWL_ONLY", None)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -191,8 +198,24 @@ def main() -> None:
                 }
             )
         )
+        sys.stdout.flush()
         return
-    print(json.dumps(run_once()))
+    try:
+        out = run_once()
+    except BaseException as e:
+        if os.environ.get("BENCH_NO_RETRY"):
+            raise
+        # A raylet/core-worker death mid-run is transient and environmental
+        # (it zeroed out round 1's bench artifact): retry ONCE in a fresh
+        # process so broken session state cannot leak into the re-run.
+        print(
+            f"bench: run failed ({type(e).__name__}: {e}); retrying in a fresh process",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        out = run_sub(NCPUS, crawl_only=bool(os.environ.get("BENCH_CRAWL_ONLY")))
+    print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

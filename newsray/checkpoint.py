@@ -10,23 +10,32 @@ wave persists, under an ATOMIC manifest (write-tmp-then-rename):
   host, site, virtual release time);
 * ``docs.parquet`` — the wave's accepted article rows (a partitioned,
   resumable output layout: one directory per wave);
-* ``seen/shard_*.json`` — exact dumps of every seen-set shard;
-* ``sched.json`` — per-host politeness clocks + budget counters;
+* ``seen/shard_*.json`` — INCREMENTAL dumps of every seen-set shard: only
+  the keys inserted since the previous completed wave (the manifest tracks
+  per-shard log offsets), so checkpoint bytes per wave ∝ new URLs, not
+  total URLs. Restore replays the deltas of every completed wave in order;
+* ``sched.json`` — per-host politeness clocks + budget counters (O(hosts));
 * ``metrics.json`` — per-wave row counts.
 
-Resume restores shard/scheduler state and continues at wave k+1: no URL is
-re-fetched (fetch-log equality with an uninterrupted run) and none dropped.
+Crash safety: a wave directory is cleared before being re-written if the
+manifest does not list the wave as completed (a crash mid-write must not
+leave partial parquet files that a rerun would append to), and the manifest
+records the shard counts + key-routing version so a resume with a different
+topology fails loudly instead of silently dropping shard state.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
+
+ROUTING_VERSION = "blake2b64-mod"  # shard_of(key) routing; must match on resume
 
 
 def _wave_dir(root: str, wave: int) -> str:
@@ -40,8 +49,20 @@ def _atomic_json(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def _load_manifest(root: str) -> dict:
+    manifest_path = os.path.join(root, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+    return {"completed_waves": []}
+
+
 def write_frontier_in(root: str, wave: int, frontier: pa.Table) -> None:
     d = _wave_dir(root, wave)
+    # a wave dir that exists but is NOT in the manifest is a crashed attempt:
+    # clear it so the rerun cannot read duplicated partial files
+    if os.path.isdir(d) and wave not in _load_manifest(root).get("completed_waves", []):
+        shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
     pq.write_table(frontier, os.path.join(d, "frontier_in.parquet"))
 
@@ -51,13 +72,14 @@ def write_wave(
     wave: int,
     docs,  # pa.Table or ray.data.Dataset (docs stay distributed per wave)
     next_frontier: pa.Table,
-    fetch_log: pa.Table,
+    fetch_log,  # pa.Table or ray.data.Dataset
     seen_shards: list,
     schedulers: list,
     metrics: dict,
 ) -> None:
     d = _wave_dir(root, wave)
     os.makedirs(os.path.join(d, "seen"), exist_ok=True)
+
     def _write(obj, name: str) -> None:
         if isinstance(obj, pa.Table):
             pq.write_table(obj, os.path.join(d, f"{name}.parquet"))
@@ -67,26 +89,39 @@ def write_wave(
     _write(docs, "docs")
     pq.write_table(next_frontier, os.path.join(d, "next_frontier.parquet"))
     _write(fetch_log, "fetch_log")
-    dumps = ray.get([s.dump.remote() for s in seen_shards])
-    for i, keys in enumerate(dumps):
+
+    manifest = _load_manifest(root)
+    prev_offsets = manifest.get("seen_log_offsets", [0] * len(seen_shards))
+    if len(prev_offsets) != len(seen_shards):
+        raise ValueError(
+            f"checkpoint at {root} tracks {len(prev_offsets)} seen shards; "
+            f"pipeline has {len(seen_shards)}"
+        )
+    deltas = ray.get(
+        [s.dump_since.remote(prev_offsets[i]) for i, s in enumerate(seen_shards)]
+    )
+    for i, keys in enumerate(deltas):
         _atomic_json(os.path.join(d, "seen", f"shard_{i}.json"), keys)
     sched = ray.get([s.dump.remote() for s in schedulers])
     _atomic_json(os.path.join(d, "sched.json"), sched)
     _atomic_json(os.path.join(d, "metrics.json"), metrics)
     # manifest last — a wave is complete only once the manifest says so
-    manifest_path = os.path.join(root, "manifest.json")
-    manifest = {"completed_waves": []}
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = json.load(f)
+    manifest["n_seen_shards"] = len(seen_shards)
+    manifest["n_sched_shards"] = len(schedulers)
+    manifest["routing"] = ROUTING_VERSION
+    manifest["seen_log_offsets"] = [
+        prev_offsets[i] + len(deltas[i]) for i in range(len(seen_shards))
+    ]
     if wave not in manifest["completed_waves"]:
         manifest["completed_waves"].append(wave)
-    _atomic_json(manifest_path, manifest)
+    _atomic_json(os.path.join(root, "manifest.json"), manifest)
 
 
 def restore(pipeline, root: str) -> bool:
     """Rehydrate a CrawlPipeline from the last completed wave. Returns True
-    if there was state to restore."""
+    if there was state to restore. Refuses a topology mismatch (shard counts
+    / key routing) — positional restore into a different shard layout would
+    silently route keys to shards the lookup never consults."""
     manifest_path = os.path.join(root, "manifest.json")
     if not os.path.exists(manifest_path):
         return False
@@ -95,10 +130,25 @@ def restore(pipeline, root: str) -> bool:
     waves = sorted(manifest.get("completed_waves", []))
     if not waves:
         return False
+    n_seen = manifest.get("n_seen_shards", len(pipeline.seen_shards))
+    n_sched = manifest.get("n_sched_shards", len(pipeline.schedulers))
+    routing = manifest.get("routing", ROUTING_VERSION)
+    if n_seen != len(pipeline.seen_shards) or n_sched != len(pipeline.schedulers):
+        raise ValueError(
+            f"checkpoint topology mismatch: manifest has {n_seen} seen / "
+            f"{n_sched} sched shards, pipeline has {len(pipeline.seen_shards)} / "
+            f"{len(pipeline.schedulers)} — resume with the same shard counts"
+        )
+    if routing != ROUTING_VERSION:
+        raise ValueError(
+            f"checkpoint key-routing version {routing!r} != {ROUTING_VERSION!r}"
+        )
     last = waves[-1]
-    # accumulated docs + fetch logs from all completed waves (lineage replay)
+    # accumulated docs + fetch logs from all completed waves (lineage replay),
+    # plus the per-wave seen-set DELTAS replayed in wave order
     for w in waves:
         d = _wave_dir(root, w)
+
         def _read(name: str) -> pa.Table:
             f = os.path.join(d, f"{name}.parquet")
             return pq.read_table(f if os.path.exists(f) else os.path.join(d, name))
@@ -107,12 +157,15 @@ def restore(pipeline, root: str) -> bool:
         pipeline.fetch_logs.append(_read("fetch_log"))
         with open(os.path.join(d, "metrics.json")) as f:
             pipeline.wave_metrics.append(json.load(f))
+        futs = []
+        for i, shard in enumerate(pipeline.seen_shards):
+            p = os.path.join(d, "seen", f"shard_{i}.json")
+            with open(p) as f:
+                keys = json.load(f)
+            if keys:
+                futs.append(shard.restore.remote(keys))
+        ray.get(futs)
     d = _wave_dir(root, last)
-    for i, shard in enumerate(pipeline.seen_shards):
-        p = os.path.join(d, "seen", f"shard_{i}.json")
-        with open(p) as f:
-            keys = json.load(f)
-        ray.get(shard.restore.remote(keys))
     with open(os.path.join(d, "sched.json")) as f:
         sched = json.load(f)
     ray.get(

@@ -112,6 +112,14 @@ class SeenShard:
         self.shard_id = shard_id
         self.cuckoo = CuckooFilter(capacity)
         self.exact: set[str] = set()
+        # insertion-ordered log backing INCREMENTAL checkpoints: a wave dumps
+        # only log[offset:] (bytes per wave ∝ new URLs, not total URLs)
+        self.log: list[str] = []
+        # replay-safety (Ray Data tasks are retryable): the (key -> seq)
+        # accepted in the CURRENT wave, so a re-executed block gets the same
+        # verdicts instead of silently dropping its rows
+        self.wave_min: dict[str, int] = {}
+        self.wave_accepted: dict[str, int] = {}
         # If an insert ever fails (table beyond design load), the cuckoo can
         # produce FALSE NEGATIVES; from then on every membership answer must
         # consult the exact store (correctness over speed — SURVEY §7.5.5).
@@ -121,6 +129,7 @@ class SeenShard:
         if not self.cuckoo.insert(k):
             self.cuckoo_degraded = True
         self.exact.add(k)
+        self.log.append(k)
 
     def _seen_before(self, k: str) -> bool:
         if self.cuckoo_degraded:
@@ -153,7 +162,8 @@ class SeenShard:
     #     then inserts it (cuckoo + exact).
 
     def begin_wave(self) -> None:
-        self.wave_min: dict[str, int] = {}
+        self.wave_min = {}
+        self.wave_accepted = {}
 
     def register_wave_min(self, keys: list[str], seqs: list[int]) -> int:
         wm = self.wave_min
@@ -166,14 +176,20 @@ class SeenShard:
     def resolve_insert(self, keys: list[str], seqs: list[int]) -> list[bool]:
         out = []
         wm = self.wave_min
+        acc = self.wave_accepted
         for k, s in zip(keys, seqs):
             if wm.get(k) != s:
                 out.append(False)  # a same-wave duplicate with smaller seq wins
                 continue
             if self._seen_before(k):
-                out.append(False)  # seen in an earlier wave
+                # replay-safe: if a retried task re-presents the exact row
+                # this wave already accepted, say True again — otherwise a
+                # re-executed block would silently drop rows whose URLs stay
+                # marked seen (never recrawled)
+                out.append(acc.get(k) == s)
                 continue
             self._insert(k)
+            acc[k] = s
             out.append(True)
         return out
 
@@ -181,8 +197,17 @@ class SeenShard:
         return [k in self.exact for k in keys]
 
     def dump(self) -> list[str]:
-        """Checkpoint payload (sorted for determinism)."""
+        """Full dump (sorted for determinism) — audits/tests, not checkpoints."""
         return sorted(self.exact)
+
+    def dump_since(self, offset: int) -> list[str]:
+        """Incremental checkpoint payload: insertions after ``offset``
+        (insertion order). The checkpoint manifest tracks per-shard offsets,
+        so per-wave checkpoint bytes ∝ newly-seen keys, not total keys."""
+        return self.log[offset:]
+
+    def log_len(self) -> int:
+        return len(self.log)
 
     def restore(self, keys: list[str]) -> int:
         for k in keys:

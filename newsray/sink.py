@@ -28,6 +28,22 @@ from .pipeline import articles_to_documents, day_grouped
 from .sites import SITES
 
 
+def _day_key(date_group: str) -> str:
+    """Partition key from the FULL date of a day-group label
+    ('2025년 04월 18일 금요일' → '2025-04-18'): the bare day-of-month token
+    would collide articles from the 18th of different months/years."""
+    parts = date_group.split(" ")
+    try:
+        y = parts[0].rstrip("년")
+        m = parts[1].rstrip("월")
+        d = parts[2].rstrip("일")
+        if y.isdigit() and m.isdigit() and d.isdigit():
+            return f"{y}-{m.zfill(2)}-{d.zfill(2)}"
+    except IndexError:
+        pass
+    return "unknown"
+
+
 def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
     """Write interleaved documents partitioned by (site, date_group digest).
 
@@ -39,8 +55,7 @@ def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
     dates = arts["date_group"].to_pylist()
     by_part: dict[tuple[str, str], list[int]] = {}
     for i, (s, d) in enumerate(zip(sites, dates)):
-        day = d.split(" ")[2][:-1] if len(d.split(" ")) > 2 else "unknown"  # DD일 → DD
-        by_part.setdefault((s, day), []).append(i)
+        by_part.setdefault((s, _day_key(d)), []).append(i)
     for (site, day), idxs in sorted(by_part.items()):
         part = arts.take(idxs)
         docs = articles_to_documents(part)
