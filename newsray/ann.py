@@ -90,12 +90,16 @@ def _signature(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
 
 
-@register("knn_lsh_cosine")  # approximate — rows-only driver check
+from .golden import golden_sql
+
+
+@register("knn_lsh_cosine", sql=golden_sql("knn_lsh_cosine"))
 def knn_lsh_cosine(sf_dir: str):
     """ANN via random-hyperplane LSH: each vector lands in a signature
     bucket; the query probes its own bucket plus all Hamming-≤2 neighbors
-    (multiprobe), then ranks candidates exactly. Recall < 1 by design — approximate, so
-    no SQL oracle; determinism comes from the seeded plane matrix."""
+    (multiprobe), then ranks candidates exactly. Recall < 1 by design — approximate;
+    the seeded plane matrix makes it deterministic, so a sequential golden
+    recompute (golden.py) value-checks it."""
     q = _load_query(sf_dir)
     planes = _planes(q.shape[0])
     qsig = int(_signature(q[None, :], planes)[0])

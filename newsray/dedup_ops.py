@@ -158,13 +158,17 @@ def _shingles_for(store: dict, doc_id: int) -> set[int]:
     return s
 
 
-@register("dedup_minhash_lsh")  # set-similarity join — not SQL-expressible
+from .golden import golden_sql
+
+
+@register("dedup_minhash_lsh", sql=golden_sql("dedup_minhash_lsh"))
 def dedup_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup pairs: per-batch shingle/minhash, explode to one
     row per (band, band_hash, doc) — signatures only, the text never rides
     the shuffle — ONE groupby co-locates candidate buckets, exact Jaccard
     verifies pairs in-group against the broadcast corpus. Returns verified
-    pairs (doc_a < doc_b, jaccard ≥ 0.5). Driver check is rows-only."""
+    pairs (doc_a < doc_b, jaccard ≥ 0.5); hash-diffed against a sequential
+    brute-force golden oracle (golden.py)."""
     a, b = _perm_params()
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     text_ref = ray.put(dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())))
@@ -260,12 +264,13 @@ def _simhash64(text: str) -> int:
     return sig
 
 
-@register("dedup_simhash")  # signature similarity join — not SQL-expressible
+@register("dedup_simhash", sql=golden_sql("dedup_simhash"))
 def dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs: 64-bit signature per doc, blocked by each of
     four 16-bit bands (a pair within Hamming ≤ 8 usually agrees on ≥1 band
     at this corpus's signature distribution), Hamming-verified in-group.
-    Returns (doc_a < doc_b, hamming ≤ 8). Rows-only driver check."""
+    Returns (doc_a < doc_b, hamming ≤ HAMMING_T); hash-diffed against a
+    sequential golden oracle (golden.py)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def sigs(batch: pa.Table) -> pa.Table:
@@ -323,15 +328,14 @@ def dedup_simhash(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ngram_jaccard_by_source",
-    sql=None,
-)
+@register("ngram_jaccard_by_source", sql=golden_sql("ngram_jaccard_by_source"))
 def ngram_jaccard_by_source(sf_dir: str):
     """Exact 3-gram Jaccard pairs within each `source` block (blocking key
     stands in for the reference's per-site scoping of fuzzy dedup, SURVEY
     D3): one groupby co-locates a source's docs, pairwise Jaccard ≥ 0.35
-    in-group. Rows-only driver check."""
+    in-group; golden-oracle value-checked. (The sf0.01 corpus genuinely
+    contains exactly ONE same-source pair at threshold 0.35 — confirmed
+    independently by the sequential brute-force golden.)"""
     ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -350,12 +354,12 @@ def ngram_jaccard_by_source(sf_dir: str):
 COS_T = 0.45  # calibrated to this corpus (max off-diag cos ≈ 0.51)
 
 
-@register("dedup_embedding_cosine")
+@register("dedup_embedding_cosine", sql=golden_sql("dedup_embedding_cosine"))
 def dedup_embedding_cosine(sf_dir: str):
     """Embedding near-dup pairs: every batch is matmul'd against the full
     (broadcast) L2-normalized matrix — one ray.put, zero shuffle. Returns
-    (vec_a < vec_b, cos ≥ COS_T). Rows-only driver check (float-boundary
-    pairs make a SQL oracle flaky). At 10^10 scale the broadcast matrix is
+    (vec_a < vec_b, cos ≥ COS_T). Value-checked against a
+    sequential numpy golden with identical block shapes (golden.py). At 10^10 scale the broadcast matrix is
     replaced by the LSH-bucketed path in ann.py."""
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
@@ -395,7 +399,7 @@ def dedup_embedding_cosine(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_minhash_clusters")  # iterative algorithm — rows-only check
+@register("dedup_minhash_clusters", sql=golden_sql("dedup_minhash_clusters"))
 def dedup_minhash_clusters(sf_dir: str):
     """Connected components over the MinHash near-dup pair graph via
     iterative min-label propagation expressed in Ray Data: each round,

@@ -5,12 +5,17 @@ spans:list<struct<kind,text,media_ref,offset>>).
 The crawl pipeline produces this table natively (pipeline.articles_to_documents);
 this module produces the same shape from the driver's flat `documents`
 parquet, so the two sources union into one corpus (see __ray_entry__.entry).
-"""
+
+For the driver's DuckDB gate the registered queries return the EXPLODED
+flat view (doc_id, span_offset, kind, text, media_ref) — every column a SQL
+type — while the nested list<struct> shape remains the pipeline's product
+(entry(), pipeline.articles_to_documents, sink.write_documents)."""
 
 from __future__ import annotations
 
 import pyarrow as pa
 
+from .golden import CRAWL_SITES, golden_sql, spans_exploded
 from .registry import register
 from .schema import DOCUMENTS, SPAN_STRUCT
 from .tabular import read
@@ -36,26 +41,87 @@ def spanify_batch(b: pa.Table) -> pa.Table:
     )
 
 
-@register("documents_interleaved")  # nested list<struct> — rows-only check
-def documents_interleaved(sf_dir: str):
-    """Flat documents → interleaved span rows (input_hint schema)."""
-    ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
-    return ds.map_batches(spanify_batch, batch_format="pyarrow")
-
-
-@register("crawl_documents")  # full crawl pipeline — rows-only check
-def crawl_documents(sf_dir: str):
-    """The flagship crawl pipeline end-to-end on a mini deterministic
-    synthetic web (sf_dir-independent — the crawl's input is the synthetic
-    frontier, per BASELINE.json north_star), returning the interleaved
-    documents table. Conformance vs the sequential oracle is enforced in
-    tests/test_conformance.py; the driver records a rows-only check here."""
-    from .pipeline import CrawlPipeline, PipelineConfig
-    from .policy import CrawlPolicy
-    from .synth import WebParams
-
-    cfg = PipelineConfig(
-        web_params=WebParams(only_sites=("nate", "naver", "google", "skydaily")),
-        policy=CrawlPolicy(),
+def explode_spans_batch(b: pa.Table) -> pa.Table:
+    """Nested documents rows → one row per span (SQL-typed columns)."""
+    ids, offs, kinds, texts, refs = [], [], [], [], []
+    for doc_id, spans in zip(b["doc_id"].to_pylist(), b["spans"].to_pylist()):
+        for s in spans:
+            ids.append(doc_id)
+            offs.append(s["offset"])
+            kinds.append(s["kind"])
+            texts.append(s["text"])
+            refs.append(s["media_ref"])
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "span_offset": pa.array(offs, pa.int32()),
+            "kind": pa.array(kinds, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+        }
     )
-    return CrawlPipeline(cfg).run()["documents"]
+
+
+@register(
+    "documents_interleaved",
+    sql="""
+    WITH base AS (
+      SELECT 'synth://' || source || '/' || CAST(doc_id AS VARCHAR) AS did,
+             array_to_string((string_split(text, ' '))[1:6], ' ') AS title,
+             text
+      FROM documents
+    )
+    SELECT did AS doc_id, CAST(0 AS INTEGER) AS span_offset,
+           'title' AS kind, title AS text, '' AS media_ref FROM base
+    UNION ALL
+    SELECT did, CAST(1 AS INTEGER), 'summary', text, '' FROM base
+    UNION ALL
+    SELECT did, CAST(2 AS INTEGER), 'link', '', did FROM base
+    """,
+)
+def documents_interleaved(sf_dir: str):
+    """Flat documents → interleaved span rows (input_hint schema), returned
+    span-EXPLODED so the DuckDB oracle can hash-check every value."""
+    ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return ds.map_batches(spanify_batch, batch_format="pyarrow").map_batches(
+        explode_spans_batch, batch_format="pyarrow"
+    )
+
+
+# one mini-crawl serves both crawl queries (the driver calls them separately)
+_CRAWL_CACHE: dict = {}
+
+
+def _mini_crawl_articles() -> pa.Table:
+    key = CRAWL_SITES
+    if key not in _CRAWL_CACHE:
+        from .pipeline import CrawlPipeline, PipelineConfig
+        from .policy import CrawlPolicy
+        from .synth import WebParams
+
+        cfg = PipelineConfig(
+            web_params=WebParams(only_sites=CRAWL_SITES), policy=CrawlPolicy()
+        )
+        _CRAWL_CACHE[key] = CrawlPipeline(cfg).run()["articles"]
+    return _CRAWL_CACHE[key]
+
+
+@register("crawl_articles", sql=golden_sql("crawl_articles"))
+def crawl_articles(sf_dir: str):
+    """The flagship crawl's flat article table (every column a SQL type),
+    hash-diffed against a parquet dump of the SEQUENTIAL reference-semantics
+    oracle crawler (oracle.run_oracle — an independent implementation; the
+    dump mechanics live in golden.py). sf_dir-independent: the crawl's input
+    is the deterministic synthetic frontier (BASELINE.json north_star)."""
+    return _mini_crawl_articles()
+
+
+@register("crawl_documents", sql=golden_sql("crawl_documents"))
+def crawl_documents(sf_dir: str):
+    """The flagship crawl end-to-end, returned as span-EXPLODED interleaved
+    document rows (doc_id, span_offset, kind, text, media_ref) and
+    hash-diffed against the sequential oracle's span dump — the per-row
+    span-sequence invariant (kind, text, media_ref, order) as a driver gate,
+    on top of the pytest conformance suite."""
+    arts = _mini_crawl_articles()
+    return spans_exploded(arts.to_pylist())

@@ -87,11 +87,14 @@ class MediaDecoder:
         )
 
 
-@register("media_features")  # binary decode — not SQL-expressible
+from .golden import golden_sql
+
+
+@register("media_features", sql=golden_sql("media_features"))
 def media_features(sf_dir: str):
     """documents → synthetic binary media column → actor-pool decode →
-    typed feature table. Rows-only driver check (the decode kernel is a
-    deterministic stub, see module docstring)."""
+    typed feature table, value-checked against a sequential golden recompute
+    of the deterministic stub-decode contract (golden.py)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def attach(b: pa.Table) -> pa.Table:
@@ -175,10 +178,10 @@ class FrameSampler:
         )
 
 
-@register("video_frame_sample")  # binary decode — not SQL-expressible
+@register("video_frame_sample", sql=golden_sql("video_frame_sample"))
 def video_frame_sample(sf_dir: str):
     """documents → synthetic video column → actor-pool frame sampling
-    (every 6th of 24 frames → 4 rows per doc). Rows-only driver check."""
+    (every 6th of 24 frames → 4 rows per doc); golden-oracle value-checked."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def attach(b: pa.Table) -> pa.Table:

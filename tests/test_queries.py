@@ -97,11 +97,10 @@ def test_rows_only_ops_structural(harness):
     assert (media["width"] >= 16).all() and (media["n_bytes"] > 8).all()
 
     spans = _to_pandas(qs["documents_interleaved"](SF))
-    assert len(spans) == 500
-    row = spans.iloc[0]["spans"]
-    kinds = [s["kind"] for s in row]
-    assert kinds == ["title", "summary", "link"]
-    assert [s["offset"] for s in row] == [0, 1, 2]
+    assert len(spans) == 1500  # 500 docs × 3 exploded span rows
+    one = spans[spans["doc_id"] == spans.iloc[0]["doc_id"]].sort_values("span_offset")
+    assert list(one["kind"]) == ["title", "summary", "link"]
+    assert list(one["span_offset"]) == [0, 1, 2]
 
 
 def test_every_query_has_unique_registered_name(harness):
