@@ -57,14 +57,33 @@ def _load_manifest(root: str) -> dict:
     return {"completed_waves": []}
 
 
-def write_frontier_in(root: str, wave: int, frontier: pa.Table) -> None:
+def _write_obj(d: str, obj, name: str) -> None:
+    if isinstance(obj, pa.Table):
+        pq.write_table(obj, os.path.join(d, f"{name}.parquet"))
+    else:  # parallel partitioned write straight from the object store
+        obj.write_parquet(os.path.join(d, name))
+
+
+def _read_obj(d: str, name: str, schema: pa.Schema | None = None) -> pa.Table:
+    f = os.path.join(d, f"{name}.parquet")
+    path = f if os.path.exists(f) else os.path.join(d, name)
+    try:
+        t = pq.read_table(path)
+    except (OSError, pa.ArrowInvalid):
+        if schema is None:
+            raise
+        return pa.Table.from_pydict({n: [] for n in schema.names}, schema=schema)
+    return t.cast(schema) if schema is not None and t.num_rows == 0 else t
+
+
+def write_frontier_in(root: str, wave: int, frontier) -> None:
     d = _wave_dir(root, wave)
     # a wave dir that exists but is NOT in the manifest is a crashed attempt:
     # clear it so the rerun cannot read duplicated partial files
     if os.path.isdir(d) and wave not in _load_manifest(root).get("completed_waves", []):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
-    pq.write_table(frontier, os.path.join(d, "frontier_in.parquet"))
+    _write_obj(d, frontier, "frontier_in")
 
 
 def write_wave(
@@ -79,16 +98,9 @@ def write_wave(
 ) -> None:
     d = _wave_dir(root, wave)
     os.makedirs(os.path.join(d, "seen"), exist_ok=True)
-
-    def _write(obj, name: str) -> None:
-        if isinstance(obj, pa.Table):
-            pq.write_table(obj, os.path.join(d, f"{name}.parquet"))
-        else:  # parallel partitioned write straight from the object store
-            obj.write_parquet(os.path.join(d, name))
-
-    _write(docs, "docs")
-    pq.write_table(next_frontier, os.path.join(d, "next_frontier.parquet"))
-    _write(fetch_log, "fetch_log")
+    _write_obj(d, docs, "docs")
+    _write_obj(d, next_frontier, "next_frontier")
+    _write_obj(d, fetch_log, "fetch_log")
 
     manifest = _load_manifest(root)
     prev_offsets = manifest.get("seen_log_offsets", [0] * len(seen_shards))
@@ -148,13 +160,8 @@ def restore(pipeline, root: str) -> bool:
     # plus the per-wave seen-set DELTAS replayed in wave order
     for w in waves:
         d = _wave_dir(root, w)
-
-        def _read(name: str) -> pa.Table:
-            f = os.path.join(d, f"{name}.parquet")
-            return pq.read_table(f if os.path.exists(f) else os.path.join(d, name))
-
-        pipeline.doc_tables.append(_read("docs"))
-        pipeline.fetch_logs.append(_read("fetch_log"))
+        pipeline.doc_tables.append(_read_obj(d, "docs"))
+        pipeline.fetch_logs.append(_read_obj(d, "fetch_log"))
         with open(os.path.join(d, "metrics.json")) as f:
             pipeline.wave_metrics.append(json.load(f))
         futs = []
@@ -171,7 +178,9 @@ def restore(pipeline, root: str) -> bool:
     ray.get(
         [s.restore.remote(state) for s, state in zip(pipeline.schedulers, sched)]
     )
-    nxt = pq.read_table(os.path.join(d, "next_frontier.parquet"))
+    from .pipeline import FRONTIER_SCHEMA
+
+    nxt = _read_obj(d, "next_frontier", schema=FRONTIER_SCHEMA)
     pipeline.start_wave = last + 1
     pipeline._frontier0 = nxt
     return True

@@ -1,7 +1,8 @@
 """Lineage/metrics collector actor (north_rule: per-partition lineage +
-metrics). Stage functions push counter increments fire-and-forget (one tiny
-RPC per batch); the driver folds the totals into each wave's checkpoint
-manifest and the run report."""
+metrics). Stage functions push ONE batched increment RPC per batch and
+``ray.get`` it before returning, so by the time the enclosing execution's
+materialize barrier completes every increment is durable — the driver's
+``wave_totals`` read cannot race ahead of in-flight counts."""
 
 from __future__ import annotations
 
@@ -17,6 +18,10 @@ class MetricsActor:
 
     def incr(self, wave: int, name: str, n: int) -> None:
         self.counters[(wave, name)] += n
+
+    def incr_many(self, wave: int, counts: dict) -> None:
+        for name, n in counts.items():
+            self.counters[(wave, name)] += n
 
     def snapshot(self) -> dict:
         return {f"{w}:{n}": v for (w, n), v in sorted(self.counters.items())}

@@ -1,15 +1,18 @@
 """The Ray-Data-native crawl pipeline: BFS wave loop over the frontier
 (SURVEY.md §3.5, §7).
 
-Each wave is a small number of streaming Dataset executions:
+Each wave is TWO heavy streaming Dataset executions (plus a metadata-sized
+next-frontier materialize):
 
-    frontier ──groupby(host)→ politeness/budget schedule (actor RPC, 1/host)
+    A: frontier ──groupby(host)→ politeness/budget schedule (actor RPC, 1/host)
              ──repartition→ skew-spread released rows
              ──map_batches(fetch+parse, fused)→ items/docs  [payload never leaves the stage]
              ──map_batches(candidate gate)→ validity/canonicalize/robots
-             ──URL wave-min REGISTER ─barrier─ RESOLVE+insert (cuckoo shards;
-               shuffle-free within-wave min-seq dedup — see seen.py)
-             ──title REGISTER ─barrier─ RESOLVE (title-seen sites)
+             ──URL wave-min REGISTER ──materialize barrier──
+    B: cands ──URL RESOLVE+insert (cuckoo shards; shuffle-free within-wave
+               min-seq dedup — see seen.py)
+             ──greedy title CLAIM (title-seen sites; one-phase, retraction
+               set collected at the wave barrier)
              ──map_batches(relevance + finalize)→ docs + next-frontier rows
 
 Design notes for 10^10-URL scale:
@@ -518,27 +521,36 @@ class CrawlPipeline:
 
     # -- one wave -----------------------------------------------------------
 
-    def run_wave(self, wave: int, frontier: pa.Table) -> tuple[pa.Table, pa.Table, pa.Table]:
-        """Returns (docs, next_frontier, fetch_log) as Arrow tables — a
-        wave's outputs are bounded metadata; payloads never escape the fused
-        fetch+parse stage inside.
+    def run_wave(self, wave: int, frontier: ray.data.Dataset):
+        """Returns (docs_ds, next_frontier_ds, flog_ds, n_retracted). All
+        three outputs are DISTRIBUTED datasets over the wave's two
+        materialized executions — article rows, fetch-log rows and the next
+        frontier never aggregate on the driver (the driver sees counts and
+        the tiny title-retraction set; per-wave driver state is O(hosts)).
 
-        THREE Ray executions per wave, ZERO candidate shuffles: within-wave
-        exact dedup (min-discovered_seq wins, for both URL and title
-        keyspaces) uses the seen-shards' two-phase register/resolve protocol
-        (seen.py) — duplicates of a key already hash-route to one shard, so
-        no groupby is needed to co-locate them; the materialize barrier
-        between executions orders the phases:
+        TWO heavy streaming executions per wave, ZERO candidate shuffles:
 
           A. schedule (groupby host — the one unavoidable exchange, one
              politeness/budget RPC per host) → repartition (skew-spread) →
              fused fetch+parse → candidate gate → URL wave-min REGISTER;
+             the materialize barrier makes every registration durable;
           B. URL RESOLVE+insert (drops same-wave losers and cross-wave
-             seen) → title wave-min REGISTER (title-seen sites, post-URL
-             rows only — oracle ordering);
-          C. title RESOLVE+insert → vectorized relevance + finalize,
-             unioned with A's non-candidate rows, collected once and split
-             driver-side by rowkind.
+             seen) → greedy title CLAIM (title-seen sites, post-URL rows
+             only — oracle ordering; one-phase with retraction, seen.py)
+             → vectorized relevance + finalize, materialized.
+
+        Within-wave exact URL dedup (min-discovered_seq wins) uses the
+        shards' two-phase register/resolve protocol — duplicates of a key
+        already hash-route to one shard, so no groupby co-location is
+        needed. Titles use the one-phase greedy claim instead: the wave
+        barrier collects the retracted seqs (claims overtaken by a lower
+        seq) and a broadcast filter drops them from the wave's doc and
+        frontier outputs, which lands exactly the per-key minimum without
+        the third execution the two-phase title pass used to cost.
+
+        A third, metadata-sized execution materializes the next frontier
+        (filter + relabel of A's pagination rows and B's two-hop rows);
+        its blocks stay in the object store.
         """
         cfg = self.cfg
         wp, policy = cfg.web_params, cfg.policy
@@ -555,16 +567,18 @@ class CrawlPipeline:
 
         def fetch_parse_m(b: pa.Table) -> pa.Table:
             out = fetch_parse(b, wp, policy)
-            metrics.incr.remote(wave, "pages_fetched", b.num_rows)
-            metrics.incr.remote(
-                wave,
-                "items_parsed",
-                int(pc.sum(pc.equal(out["rowkind"], "cand")).as_py() or 0),
-            )
-            metrics.incr.remote(
-                wave,
-                "docs_emitted",
-                int(pc.sum(pc.equal(out["rowkind"], "doc")).as_py() or 0),
+            kinds = out["rowkind"]
+            # ONE batched increment, ray.get'd: counts are durable before the
+            # execution barrier, so the driver's wave_totals read cannot race
+            ray.get(
+                metrics.incr_many.remote(
+                    wave,
+                    {
+                        "pages_fetched": b.num_rows,
+                        "items_parsed": int(pc.sum(pc.equal(kinds, "cand")).as_py() or 0),
+                        "docs_emitted": int(pc.sum(pc.equal(kinds, "doc")).as_py() or 0),
+                    },
+                )
             )
             return out
 
@@ -572,14 +586,14 @@ class CrawlPipeline:
             is_cand = pc.equal(b["rowkind"], "cand")
             others = b.filter(pc.invert(is_cand))
             cands = cand_gate(b.filter(is_cand), policy)
-            metrics.incr.remote(wave, "cand_admitted", cands.num_rows)
+            ray.get(metrics.incr.remote(wave, "cand_admitted", cands.num_rows))
             cands = url_wave.register(cands)
             return pa.concat_tables(
                 [others.select(WAVE_SCHEMA.names), cands.select(WAVE_SCHEMA.names)]
             )
 
         parsed = (
-            ray.data.from_arrow(frontier)
+            frontier
             .repartition(cfg.repartition_blocks)  # parallel sort-map input
             .groupby("host")
             .map_groups(lambda g: sched_fn(g), batch_format="pandas")
@@ -592,81 +606,85 @@ class CrawlPipeline:
             .materialize()  # barrier: all URL wave-min registrations durable
         )
 
-        # -- execution B: URL resolve → title register ----------------------
-        def resolve_register_titles(b: pa.Table) -> pa.Table:
+        # -- execution B: URL resolve → title claim → relevance/finalize ----
+        def resolve_claim_finalize(b: pa.Table) -> pa.Table:
             accepted = url_wave.resolve(b)
-            t_rows = accepted.filter(pc.is_in(accepted["site"], value_set=tsites_arr))
+            is_t = pc.is_in(accepted["site"], value_set=tsites_arr)
+            t_rows = accepted.filter(is_t)
             if t_rows.num_rows:
-                title_wave.register(t_rows)
-            return accepted
+                t_rows = title_wave.claim(t_rows)
+            merged = pa.concat_tables(
+                [t_rows.select(WAVE_SCHEMA.names),
+                 accepted.filter(pc.invert(is_t)).select(WAVE_SCHEMA.names)]
+            )
+            out = relevance_finalize(merged, wp, policy)
+            ray.get(
+                metrics.incr_many.remote(
+                    wave,
+                    {
+                        "docs_emitted": int(
+                            pc.sum(pc.equal(out["rowkind"], "doc")).as_py() or 0
+                        ),
+                    },
+                )
+            )
+            return out
 
-        accepted = (
+        done = (
             parsed.map_batches(keep_rowkind("cand"), batch_format="pyarrow")
             # candidates concentrate in the listing-bearing blocks; spread
             # them so resolve/relevance parallelize across the cluster
             .repartition(cfg.repartition_blocks)
-            .map_batches(resolve_register_titles, batch_format="pyarrow")
-            .materialize()  # barrier: title registrations durable
+            .map_batches(resolve_claim_finalize, batch_format="pyarrow")
+            .materialize()  # wave barrier: claims + finalize durable
         )
 
-        # -- execution C: title resolve → relevance/finalize → collect ------
-        def title_resolve_split(b: pa.Table) -> pa.Table:
-            is_t = pc.is_in(b["site"], value_set=tsites_arr)
-            resolved = title_wave.resolve(b.filter(is_t))
-            return pa.concat_tables(
-                [resolved.select(WAVE_SCHEMA.names),
-                 b.filter(pc.invert(is_t)).select(WAVE_SCHEMA.names)]
-            )
+        # retraction set: greedy title claims overtaken by a lower seq —
+        # O(same-wave title collisions), tiny; broadcast once
+        retracted: set[int] = set()
+        for seqs in ray.get([sh.wave_retractions.remote() for sh in self.seen_shards]):
+            retracted.update(seqs)
+        drop_ref = ray.put(frozenset(retracted)) if retracted else None
 
-        def relevance_finalize_m(b: pa.Table) -> pa.Table:
-            out = relevance_finalize(b, wp, policy)
-            metrics.incr.remote(
-                wave,
-                "docs_emitted",
-                int(pc.sum(pc.equal(out["rowkind"], "doc")).as_py() or 0),
-            )
-            return out
+        def drop_retracted(b: pa.Table) -> pa.Table:
+            if drop_ref is None or b.num_rows == 0:
+                return b
+            drops = ray.get(drop_ref)
+            keep = [s not in drops for s in b["discovered_seq"].to_pylist()]
+            return b.filter(pa.array(keep, pa.bool_()))
 
-        done = accepted.map_batches(
-            title_resolve_split, batch_format="pyarrow"
-        ).map_batches(relevance_finalize_m, batch_format="pyarrow")
-        leftovers = parsed.map_batches(
-            lambda b: b.filter(pc.invert(pc.equal(b["rowkind"], "cand"))),
-            batch_format="pyarrow",
+        def to_frontier(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.is_in(b["rowkind"], value_set=pa.array(["next", "frontier"]))
+            )
+            b = drop_retracted(b)
+            kind = pc.if_else(
+                pc.equal(b["rowkind"], "next"),
+                pa.scalar("listing"),
+                pa.scalar("article"),
+            )
+            b = b.append_column("kind", kind)
+            return b.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+
+        nxt = (
+            parsed.map_batches(to_frontier, batch_format="pyarrow")
+            .union(done.map_batches(to_frontier, batch_format="pyarrow"))
+            .materialize()  # small control dataset; blocks stay distributed
         )
-        comb = leftovers.union(done).materialize()
-        # doc and fetch-log rows STAY in the object store (consumed by
-        # finalize/checkpoint); only the next-frontier control rows come
-        # back to the driver each wave.
-        docs_ds = comb.map_batches(keep_rowkind("doc"), batch_format="pyarrow")
 
         def flog_rows(b: pa.Table) -> pa.Table:
             t = b.filter(pc.equal(b["rowkind"], "flog")).select(FETCH_LOG_SCHEMA.names)
             return t.append_column("wave", pa.array([wave] * t.num_rows, pa.int32()))
 
-        flog_ds = comb.map_batches(flog_rows, batch_format="pyarrow")
-        control = _collect(
-            comb.map_batches(
-                lambda b: b.filter(
-                    pc.is_in(b["rowkind"], value_set=pa.array(["next", "frontier"]))
-                ),
-                batch_format="pyarrow",
-            ),
-            WAVE_SCHEMA,
-        )
+        flog_ds = parsed.map_batches(flog_rows, batch_format="pyarrow")
 
-        kinds = control["rowkind"]
-        nexts = control.filter(pc.equal(kinds, "next"))
-        nexts = nexts.append_column("kind", pa.array(["listing"] * nexts.num_rows))
-        twohop = control.filter(pc.equal(kinds, "frontier"))
-        twohop = twohop.append_column("kind", pa.array(["article"] * twohop.num_rows))
-        next_tbl = pa.concat_tables(
-            [t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA) for t in (nexts, twohop)]
+        def keep_docs(b: pa.Table) -> pa.Table:
+            return drop_retracted(b.filter(pc.equal(b["rowkind"], "doc")))
+
+        docs_ds = parsed.map_batches(keep_docs, batch_format="pyarrow").union(
+            done.map_batches(keep_docs, batch_format="pyarrow")
         )
-        self._last_wave_candidates = int(
-            ray.get(self.metrics.wave_totals.remote(wave)).get("items_parsed", 0)
-        )
-        return docs_ds, next_tbl, flog_ds
+        return docs_ds, nxt, flog_ds, len(retracted)
 
     # -- full run -------------------------------------------------------------
 
@@ -676,22 +694,29 @@ class CrawlPipeline:
         cfg = self.cfg
         if frontier is None:
             frontier = self._frontier0 if self._frontier0 is not None else self.seed_frontier()
+        if isinstance(frontier, pa.Table):
+            n_frontier = frontier.num_rows
+            frontier = ray.data.from_arrow(frontier)
+        else:
+            n_frontier = frontier.count()
         wave = self.start_wave
-        while frontier.num_rows > 0 and wave < cfg.policy.max_waves:
+        while n_frontier > 0 and wave < cfg.policy.max_waves:
             if cfg.checkpoint_dir:
                 ckpt.write_frontier_in(cfg.checkpoint_dir, wave, frontier)
-            docs, nxt, flog = self.run_wave(wave, frontier)
+            docs, nxt, flog, n_retracted = self.run_wave(wave, frontier)
             self.doc_tables.append(docs)
             self.fetch_logs.append(flog)
+            n_next = nxt.count()  # materialized → metadata read, no recompute
             totals = ray.get(self.metrics.wave_totals.remote(wave))
             self.wave_metrics.append(
                 {
                     "wave": wave,
-                    "frontier": frontier.num_rows,
+                    "frontier": n_frontier,
                     "fetched": int(totals.get("pages_fetched", 0)),
-                    "candidates": getattr(self, "_last_wave_candidates", 0),
+                    "candidates": int(totals.get("items_parsed", 0)),
                     "docs": int(totals.get("docs_emitted", 0)),
-                    "next_frontier": nxt.num_rows,
+                    "retracted": n_retracted,
+                    "next_frontier": n_next,
                 }
             )
             if cfg.checkpoint_dir:
@@ -700,6 +725,7 @@ class CrawlPipeline:
                     self.seen_shards, self.schedulers, self.wave_metrics[-1],
                 )
             frontier = nxt
+            n_frontier = n_next
             wave += 1
         return self.finalize_streaming() if streaming_finalize else self.finalize()
 
@@ -735,9 +761,12 @@ class CrawlPipeline:
 
     def finalize_streaming(self) -> dict:
         """Scale-path finalize: article/document rows never aggregate on the
-        driver. Only the fuzzy-site (site, title, seq) columns are pulled for
-        the order-dependent near-dup scan; the resulting drop-set broadcasts
-        back and the final tables remain distributed Datasets."""
+        driver. The order-dependent fuzzy near-dup scan runs as a keyed
+        ``groupby(site).map_groups`` over ONLY the fuzzy-enabled sites'
+        rows — the reference's per-run scan order is preserved inside the
+        group by sorting on ``discovered_seq`` (SURVEY §7.4/§7.5.2) — while
+        every other site's rows stream past untouched. Nothing but counts
+        ever reaches the driver."""
         fuzzy_sites = pa.array([s for s, c in SITES.items() if c.fuzzy_dedup])
         doc_ds_list = [
             t if not isinstance(t, pa.Table) else ray.data.from_arrow(t)
@@ -753,31 +782,22 @@ class CrawlPipeline:
             docs_ds = docs_ds.union(d)
         docs_ds = docs_ds.materialize()
 
-        fz_cols = _collect(
-            docs_ds.map_batches(
-                lambda b: b.filter(pc.is_in(b["site"], value_set=fuzzy_sites)).select(
-                    ["site", "title", "discovered_seq"]
-                ),
-                batch_format="pyarrow",
-            ),
-            pa.schema(
-                [("site", pa.string()), ("title", pa.string()), ("discovered_seq", pa.int64())]
-            ),
-        ).sort_by("discovered_seq")
-        kept = _fuzzy_pass(fz_cols)
-        dropped = set(fz_cols["discovered_seq"].to_pylist()) - set(
-            kept["discovered_seq"].to_pylist()
+        def keep_nonfuzzy(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.invert(pc.is_in(b["site"], value_set=fuzzy_sites)))
+            return b.select(ARTICLE_COLS).cast(ARTS_SCHEMA)
+
+        def keep_fuzzy(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b["site"], value_set=fuzzy_sites))
+            return b.select(ARTICLE_COLS).cast(ARTS_SCHEMA)
+
+        fuzzy_kept = (
+            docs_ds.map_batches(keep_fuzzy, batch_format="pyarrow")
+            .groupby("site")
+            .map_groups(_fuzzy_scan_group, batch_format="pandas")
         )
-        drop_ref = ray.put(frozenset(dropped))
-
-        def drop_fuzzy(b: pa.Table) -> pa.Table:
-            drops = ray.get(drop_ref)
-            if not drops:
-                return b.select(ARTICLE_COLS)
-            keep = [s not in drops for s in b["discovered_seq"].to_pylist()]
-            return b.filter(pa.array(keep, pa.bool_())).select(ARTICLE_COLS)
-
-        arts_ds = docs_ds.map_batches(drop_fuzzy, batch_format="pyarrow")
+        arts_ds = docs_ds.map_batches(keep_nonfuzzy, batch_format="pyarrow").union(
+            fuzzy_kept
+        )
         documents_ds = arts_ds.map_batches(_spans_batch, batch_format="pyarrow")
         return {
             "articles_ds": arts_ds,
@@ -785,6 +805,32 @@ class CrawlPipeline:
             "fetch_logs": self.fetch_logs,
             "wave_metrics": self.wave_metrics,
         }
+
+
+ARTS_SCHEMA = pa.schema(
+    [(name, WAVE_SCHEMA.field(name).type) for name in ARTICLE_COLS]
+)
+
+
+def _fuzzy_scan_group(g: pd.DataFrame) -> pa.Table:
+    """One fuzzy-enabled site's sequential near-dup scan, run INSIDE a keyed
+    group (off the driver): sort by discovered_seq — the reference's scan
+    order — then first-accepted-wins with the verbatim threshold. Exact
+    normalized repeats short-circuit before the bit-parallel LCS."""
+    g = g.sort_values("discovered_seq", kind="mergesort")
+    cfg = SITES[g["site"].iloc[0]]
+    keep: list[bool] = []
+    mem: list[str] = []
+    mem_exact: set[str] = set()
+    for t in g["title"]:
+        norm = normalize_for_fuzzy(t)
+        if norm in mem_exact or fuzzy_is_dup(t, mem, cfg.fuzzy_threshold):
+            keep.append(False)
+            continue
+        mem.append(norm)
+        mem_exact.add(norm)
+        keep.append(True)
+    return pa.Table.from_pandas(g[keep], schema=ARTS_SCHEMA, preserve_index=False)
 
 
 def _fuzzy_pass(arts: pa.Table) -> pa.Table:

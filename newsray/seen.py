@@ -120,6 +120,10 @@ class SeenShard:
         # verdicts instead of silently dropping its rows
         self.wave_min: dict[str, int] = {}
         self.wave_accepted: dict[str, int] = {}
+        # greedy claim state (title keyspace): key -> winning seq, plus the
+        # seqs whose provisional acceptance a lower-seq claim retracted
+        self.claims: dict[str, int] = {}
+        self.retracted: set[int] = set()
         # If an insert ever fails (table beyond design load), the cuckoo can
         # produce FALSE NEGATIVES; from then on every membership answer must
         # consult the exact store (correctness over speed — SURVEY §7.5.5).
@@ -164,6 +168,8 @@ class SeenShard:
     def begin_wave(self) -> None:
         self.wave_min = {}
         self.wave_accepted = {}
+        self.claims = {}
+        self.retracted = set()
 
     def register_wave_min(self, keys: list[str], seqs: list[int]) -> int:
         wm = self.wave_min
@@ -192,6 +198,45 @@ class SeenShard:
             acc[k] = s
             out.append(True)
         return out
+
+    # -- one-phase greedy claim with retraction (title keyspace) ------------
+    #
+    # The two-phase min-seq protocol needs a materialize barrier between
+    # register and resolve — one extra streaming execution per wave. Titles
+    # instead claim GREEDILY in arrival order inside the URL-resolve pass:
+    # the first claimant of a key this wave wins provisionally; if a
+    # lower-seq claimant arrives later it takes the key and the earlier
+    # seq is RETRACTED. The driver collects the (tiny) retraction set at the
+    # wave barrier and filters those rows out of the wave's doc/frontier
+    # outputs — the final accepted set is exactly the per-key wave minimum,
+    # with one fewer execution per wave. Exactly the oracle's semantics:
+    # a retracted row's URL stays seen (URL insert precedes the title
+    # check), the title key stays seen (the winner holds it), and the
+    # retracted row's outputs never leave the wave.
+
+    def claim_insert(self, keys: list[str], seqs: list[int]) -> list[bool]:
+        out = []
+        for k, s in zip(keys, seqs):
+            cur = self.claims.get(k)
+            if cur is None:
+                if self._seen_before(k):
+                    out.append(False)  # seen in an earlier wave
+                    continue
+                self._insert(k)
+                self.claims[k] = s
+                out.append(True)
+            elif s == cur:
+                out.append(True)  # replayed task re-presenting its win
+            elif s < cur:
+                self.retracted.add(cur)
+                self.claims[k] = s  # key already in exact store; keep it
+                out.append(True)
+            else:
+                out.append(False)  # a lower seq already holds the key
+        return out
+
+    def wave_retractions(self) -> list[int]:
+        return sorted(self.retracted)
 
     def contains(self, keys: list[str]) -> list[bool]:
         return [k in self.exact for k in keys]
@@ -263,6 +308,14 @@ class WaveMinStage:
         return batch
 
     def resolve(self, batch):
+        return self._verdict_filter(batch, "resolve_insert")
+
+    def claim(self, batch):
+        """One-phase greedy claim (title keyspace): no prior register pass,
+        retractions collected at the wave barrier."""
+        return self._verdict_filter(batch, "claim_insert")
+
+    def _verdict_filter(self, batch, method: str):
         import pyarrow as pa
 
         if batch.num_rows == 0:
@@ -273,7 +326,7 @@ class WaveMinStage:
         futs, idxs = [], []
         for sid, rows in by.items():
             futs.append(
-                self.shards[sid].resolve_insert.remote(
+                getattr(self.shards[sid], method).remote(
                     [keys[r] for r in rows], [seqs[r] for r in rows]
                 )
             )

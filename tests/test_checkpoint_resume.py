@@ -74,10 +74,10 @@ def test_wave_checkpoint_layout(ray_session):
         pipe.run()
         assert os.path.exists(os.path.join(root, "manifest.json"))
         w0 = os.path.join(root, "wave_000")
-        for f in ("frontier_in.parquet", "sched.json", "metrics.json", "next_frontier.parquet"):
+        for f in ("sched.json", "metrics.json"):
             assert os.path.exists(os.path.join(w0, f)), f
-        # docs / fetch_log: single file (small runs) or partitioned directory
-        for name in ("docs", "fetch_log"):
+        # datasets: single file (small/table writes) or partitioned directory
+        for name in ("frontier_in", "next_frontier", "docs", "fetch_log"):
             assert os.path.exists(os.path.join(w0, f"{name}.parquet")) or os.path.isdir(
                 os.path.join(w0, name)
             ), name

@@ -148,6 +148,33 @@ def test_rerun_idempotence(ray_session):
     assert r2["articles"].num_rows == 0  # every candidate already seen
 
 
+def test_streaming_finalize_matches_oracle_without_driver_collect(ray_session, monkeypatch):
+    """The scale path: run(streaming_finalize=True) must (a) produce exactly
+    the oracle's article set and span rows, and (b) never pull frontier /
+    doc / title rows to the driver — `pipeline._collect` is forbidden on the
+    whole wave + streaming-finalize path (fuzzy dedup runs in a keyed
+    map_groups, the frontier hands off as a materialized Dataset)."""
+    import newsray.pipeline as pl
+
+    def _no_collect(*a, **k):
+        raise AssertionError("_collect called on the streaming path")
+
+    monkeypatch.setattr(pl, "_collect", _no_collect)
+    params, policy = WebParams(only_sites=MINI_SITES), CrawlPolicy()
+    pipe = CrawlPipeline(PipelineConfig(web_params=params, policy=policy))
+    res = pipe.run(streaming_finalize=True)
+    arts = res["articles_ds"].to_pandas()
+    ora = run_oracle(SyntheticWeb(params), policy)
+    got = sorted(zip(arts["discovered_seq"], arts["url"], arts["title"]))
+    want = sorted((r["discovered_seq"], r["url"], r["title"]) for r in ora.articles)
+    assert got == want
+    # span rows survive the distributed pivot
+    n_spans = sum(len(r["spans"]) for r in res["documents_ds"].take_all())
+    from newsray.extract import article_spans
+
+    assert n_spans == sum(len(article_spans(r, SITES[r["site"]])) for r in ora.articles)
+
+
 def test_robots_and_drop_paths_exercised(full_run):
     """The corpus must actually hit every drop path the engine implements —
     a gate that never fires is untested code (robots, off-host, invalid,
