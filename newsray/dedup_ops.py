@@ -134,45 +134,29 @@ def _jaccard_pairs_df(ids: np.ndarray, shs: list[set[int]], thresh: float) -> pd
     )
 
 
-_SHINGLE_CACHE: dict = {}
-
-
-def _shingle_store(text_ref) -> dict:
-    """Worker-process-cached doc_id → shingle set, built lazily from the
-    broadcast corpus (ray.put once). At 10^10-doc scale this broadcast is
-    replaced by re-joining candidate pairs against the corpus by doc_id; the
-    banding/verify structure is unchanged."""
-    key = text_ref.hex() if hasattr(text_ref, "hex") else id(text_ref)
-    store = _SHINGLE_CACHE.get(key)
-    if store is None:
-        store = {"texts": ray.get(text_ref), "shingles": {}}
-        _SHINGLE_CACHE[key] = store
-    return store
-
-
-def _shingles_for(store: dict, doc_id: int) -> set[int]:
-    s = store["shingles"].get(doc_id)
-    if s is None:
-        s = _shingles(store["texts"][doc_id])
-        store["shingles"][doc_id] = s
-    return s
-
-
 from .golden import golden_sql
 
 
 @register("dedup_minhash_lsh", sql=golden_sql("dedup_minhash_lsh"))
 def dedup_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup pairs: per-batch shingle/minhash, explode to one
-    row per (band, band_hash, doc) — signatures only, the text never rides
-    the shuffle — ONE groupby co-locates candidate buckets, exact Jaccard
-    verifies pairs in-group against the broadcast corpus. Returns verified
-    pairs (doc_a < doc_b, jaccard ≥ 0.5); hash-diffed against a sequential
-    brute-force golden oracle (golden.py)."""
+    """MinHash+LSH near-dup pairs, fully shuffled-not-broadcast (no
+    O(corpus) object is ever ray.put):
+
+    1. per-batch shingle/minhash, explode to (band, band_hash, doc) rows —
+       signatures only, text never rides this shuffle;
+    2. ONE groupby co-locates candidate buckets → raw candidate PAIRS;
+    3. the pair members RE-JOIN `documents` by doc_id (bucketed hash join)
+       to pick up their texts;
+    4. pairs co-locate by pair key; exact Jaccard verifies each pair
+       (shingles computed once per distinct doc inside the bucket).
+
+    Returns verified pairs (doc_a < doc_b, jaccard ≥ 0.5); hash-diffed
+    against a sequential brute-force golden oracle (golden.py)."""
+    from .tabular import n_buckets
+
     a, b = _perm_params()
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    text_ref = ray.put(dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())))
     ds = read(sf_dir, "documents", ["doc_id", "text"])
+    B = n_buckets()
 
     N_PARTS = 64  # coarse partitions; each holds many LSH buckets
 
@@ -191,36 +175,113 @@ def dedup_minhash_lsh(sf_dir: str):
                 out["doc_id"].append(doc_id)
         return pa.Table.from_pydict(out)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """One coarse partition = many LSH buckets: sub-group in pandas and
-        verify each bucket — map_groups over millions of 1-row buckets is
-        the Ray anti-pattern this avoids."""
-        store = _shingle_store(text_ref)
-        frames = []
+        emit each bucket's candidate pairs — map_groups over millions of
+        1-row buckets is the Ray anti-pattern this avoids. Pairs only; the
+        text joins back downstream."""
+        out_a, out_b = [], []
         for _, sub in g.groupby("band_hash", sort=True):
-            if len(sub) < 2:
-                continue
             ids = np.sort(sub["doc_id"].unique())
-            if len(ids) < 2:
-                continue
-            shs = [_shingles_for(store, int(i)) for i in ids]
-            frames.append(_jaccard_pairs_df(ids, shs, JACCARD_T))
-        if not frames:
-            return _jaccard_pairs_df(np.array([], dtype=np.int64), [], JACCARD_T)
-        return pd.concat(frames, ignore_index=True)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64")}
+        )
 
-    pairs = (
+    cand_pairs = (
         ds.map_batches(bands, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # a pair surfaces once per matching band → vectorized hash-aggregate
-    # dedup (never map_groups over hundreds of thousands of 1-row groups)
-    from ray.data.aggregate import Min
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("jaccard", alias_name="jaccard")
+    # -- re-join members with their texts (bucketed hash join by doc_id) ----
+    def members(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        member = pa.concat_arrays(
+            [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+        )
+        rep = lambda col: pa.concat_arrays([col.combine_chunks()] * 2)  # noqa: E731
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(pc.bit_wise_and(member, pa.scalar(B - 1)), pa.int64()),
+                "member": member,
+                "doc_a": rep(b["doc_a"]),
+                "doc_b": rep(b["doc_b"]),
+                "text": pa.nulls(2 * n, pa.string()),
+            }
+        )
+
+    def corpus_side(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(pc.bit_wise_and(b["doc_id"], pa.scalar(B - 1)), pa.int64()),
+                "member": b["doc_id"],
+                "doc_a": pa.nulls(b.num_rows, pa.int64()),
+                "doc_b": pa.nulls(b.num_rows, pa.int64()),
+                "text": b["text"],
+            }
+        )
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g[g["doc_a"].notna()].drop_duplicates(["doc_a", "doc_b", "member"])
+        if len(mem) == 0:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "member": pd.Series([], dtype="int64"),
+                 "text": pd.Series([], dtype="object"),
+                 "pb": pd.Series([], dtype="int64")}
+            )
+        txt = dict(zip(g.loc[g["doc_a"].isna(), "member"], g.loc[g["doc_a"].isna(), "text"]))
+        out = mem[["doc_a", "doc_b", "member"]].copy()
+        out["doc_a"] = out["doc_a"].astype("int64")
+        out["doc_b"] = out["doc_b"].astype("int64")
+        out["text"] = out["member"].map(txt)
+        out["pb"] = (out["doc_a"] * 1_000_003 + out["doc_b"]) & (B - 1)
+        return out
+
+    joined = (
+        cand_pairs.map_batches(members, batch_format="pyarrow")
+        .union(ds.map_batches(corpus_side, batch_format="pyarrow"))
+        .groupby("jb")
+        .map_groups(attach_text, batch_format="pandas")
     )
+
+    # -- co-locate by pair, verify with exact Jaccard -----------------------
+    def verify_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[int, set[int]] = {}
+
+        def sh(doc: int, text: str) -> set[int]:
+            s = cache.get(doc)
+            if s is None:
+                s = _shingles(text)
+                cache[doc] = s
+            return s
+
+        rows_a, rows_b, rows_j = [], [], []
+        for (da, db), sub in g.groupby(["doc_a", "doc_b"], sort=True):
+            sub = sub.drop_duplicates("member")
+            if len(sub) != 2:
+                continue  # partial pair (member text missing) — impossible here
+            texts = dict(zip(sub["member"], sub["text"]))
+            sa, sb = sh(int(da), texts[da]), sh(int(db), texts[db])
+            union = len(sa | sb)
+            jac = len(sa & sb) / union if union else 0.0
+            if jac >= JACCARD_T:
+                rows_a.append(int(da))
+                rows_b.append(int(db))
+                rows_j.append(float(np.round(jac, 4)))
+        return pd.DataFrame(
+            {"doc_a": pd.Series(rows_a, dtype="int64"),
+             "doc_b": pd.Series(rows_b, dtype="int64"),
+             "jaccard": pd.Series(rows_j, dtype="float64")}
+        )
+
+    return joined.groupby("pb").map_groups(verify_pairs, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -402,90 +463,132 @@ def dedup_embedding_cosine(sf_dir: str):
 @register("dedup_minhash_clusters", sql=golden_sql("dedup_minhash_clusters"))
 def dedup_minhash_clusters(sf_dir: str):
     """Connected components over the MinHash near-dup pair graph via
-    iterative min-label propagation expressed in Ray Data: each round,
-    every node adopts the minimum label among itself and its neighbours
-    (explode pair→2 directed edges, ONE groupby(node) min per round);
-    converges in O(diameter) rounds — duplicate-cluster diameters are tiny.
-    Driver-side work is only the per-round convergence check (count).
+    iterative min-label propagation, with the label table kept DISTRIBUTED
+    end-to-end (no per-round driver dict — a pair graph at 100 TB does not
+    fit one node):
 
-    Returns (doc_id, cluster_id=min doc_id of the component, is_keeper).
-    """
-    import ray.data as rd
+    * round 0 is fused into initialization: label(node) = min(node, min nbr)
+      straight off ONE groupby(node);
+    * each later round joins neighbour labels onto the edge list with a
+      bucketed hash join (by nbr), takes the per-node minimum, and joins the
+      result back against the current labels (by node) — three shuffles over
+      edge-sized data, zero broadcasts;
+    * labels only ever DECREASE, so convergence is detected by comparing
+      the scalar sum(label) between rounds (the only value the driver sees).
 
+    Converges in O(component diameter) rounds — duplicate clusters are
+    near-cliques. Returns (doc_id, cluster_id = component min, is_keeper);
+    golden-checked against a sequential union-find (golden.py)."""
     from ray.data.aggregate import Min
 
-    pairs_ds = dedup_minhash_lsh(sf_dir)
-    pairs = pairs_ds.to_pandas()  # candidate pairs are tiny vs the corpus
-    if len(pairs) == 0:
+    from .tabular import n_buckets
+
+    pairs = dedup_minhash_lsh(sf_dir).materialize()
+    if pairs.count() == 0:
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
              "cluster_id": pd.Series([], dtype="int64"),
              "is_keeper": pd.Series([], dtype="bool")}
         )
-    edges = pa.Table.from_pydict(
-        {
-            "node": pa.array(
-                list(pairs["doc_a"]) + list(pairs["doc_b"]), pa.int64()
+    B = n_buckets()
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()])
+        nbr = pa.concat_arrays([b["doc_b"].combine_chunks(), b["doc_a"].combine_chunks()])
+        return pa.Table.from_pydict({"node": node, "nbr": nbr})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("nbr", alias_name="m"))
+        .map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"node": b["node"], "label": pc.min_element_wise(b["node"], b["m"])}
             ),
-            "nbr": pa.array(
-                list(pairs["doc_b"]) + list(pairs["doc_a"]), pa.int64()
-            ),
-        }
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    edges_ds = rd.from_arrow(edges)
-    # label(node) starts as node id; propagate min(label[nbr]) until fixed
-    labels = rd.from_arrow(
-        pa.Table.from_pydict(
+    prev_sum = labels.sum("label")
+
+    def edge_side(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
             {
-                "node": pc.unique(edges["node"]),
-                "label": pc.unique(edges["node"]),
+                "k": b["nbr"],
+                "node": b["node"],
+                "label": pa.nulls(b.num_rows, pa.int64()),
+                "bucket": pc.cast(pc.bit_wise_and(b["nbr"], pa.scalar(B - 1)), pa.int64()),
             }
         )
-    ).materialize()
-    for _ in range(16):  # diameter bound; clusters here are near-cliques
-        lut = {
-            int(n): int(l)
-            for n, l in zip(
-                *[labels.to_pandas()[c] for c in ("node", "label")]
-            )
-        }
-        lut_ref = ray.put(lut)
 
-        def relabel(b: pa.Table) -> pa.Table:
-            m = ray.get(lut_ref)
-            lbl = [m[int(x)] for x in b["nbr"].to_pylist()]
-            return pa.Table.from_pydict(
-                {"node": b["node"], "cand": pa.array(lbl, pa.int64())}
-            )
-
-        new_labels = (
-            edges_ds.map_batches(relabel, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="nbr_min"))
-            .map_batches(
-                lambda b: pa.Table.from_pydict(
-                    {
-                        "node": b["node"],
-                        "label": pc.min_element_wise(
-                            b["nbr_min"],
-                            pa.array(
-                                [ray.get(lut_ref)[int(x)] for x in b["node"].to_pylist()],
-                                pa.int64(),
-                            ),
-                        ),
-                    }
+    def label_side(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": b["node"],
+                "node": pa.nulls(b.num_rows, pa.int64()),
+                "label": b["label"],
+                "bucket": pc.cast(
+                    pc.bit_wise_and(b["node"], pa.scalar(B - 1)), pa.int64()
                 ),
-                batch_format="pyarrow",
-            )
+            }
+        )
+
+    def attach_label(g: pd.DataFrame) -> pd.DataFrame:
+        lmap = dict(zip(g.loc[g["node"].isna(), "k"], g.loc[g["node"].isna(), "label"]))
+        e = g[g["node"].notna()]
+        return pd.DataFrame(
+            {
+                "node": e["node"].astype("int64"),
+                "cand": e["k"].map(lmap).astype("int64"),
+            }
+        )
+
+    def min_side(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": b["node"],
+                "node": pa.nulls(b.num_rows, pa.int64()),
+                "label": b["m"],
+                "bucket": pc.cast(pc.bit_wise_and(b["node"], pa.scalar(B - 1)), pa.int64()),
+            }
+        )
+
+    def merge_min(g: pd.DataFrame) -> pd.DataFrame:
+        # both sides carry a candidate label for key k (own + neighbour-min)
+        lab = g.groupby("k", as_index=False)["label"].min()
+        return pd.DataFrame(
+            {"node": lab["k"].astype("int64"), "label": lab["label"].astype("int64")}
+        )
+
+    for _ in range(32):  # diameter bound; clusters here are near-cliques
+        nbr_min = (
+            edges.map_batches(edge_side, batch_format="pyarrow")
+            .union(labels.map_batches(label_side, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(attach_label, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="m"))
+        )
+        labels = (
+            nbr_min.map_batches(min_side, batch_format="pyarrow")
+            .union(labels.map_batches(label_side, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(merge_min, batch_format="pandas")
             .materialize()
         )
-        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
-        new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
-        labels = new_labels
-        if old["label"].equals(new["label"]):
+        s = labels.sum("label")
+        if s == prev_sum:
             break
-    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
-    out["is_keeper"] = out["doc_id"] == out["cluster_id"]
-    out["doc_id"] = out["doc_id"].astype("int64")
-    out["cluster_id"] = out["cluster_id"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+        prev_sum = s
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b["node"],
+                "cluster_id": b["label"],
+                "is_keeper": pc.equal(b["node"], b["label"]),
+            }
+        )
+
+    return labels.map_batches(final, batch_format="pyarrow")

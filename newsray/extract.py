@@ -73,6 +73,113 @@ def parse_listing(html: str) -> list[ListingItem]:
     return items
 
 
+# ---------------------------------------------------------------------------
+# CSS-selector-driven extraction over REAL HTML (SURVEY §2.9 extension
+# surface): a SiteConfig carries a SelectorSet and ONE engine parses any
+# site's pages — the rebuild's equivalent of the reference's per-script
+# BeautifulSoup selects (Naver_Crawler.py:109-117, Daum_crawler.py:95-100,
+# Google_Crawler.py:163-204). The synthetic-corpus sites keep the compiled
+# regex fast path (selectors=None).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class SelectorSet:
+    """Declarative per-site CSS selectors. ``item`` scopes a listing entry;
+    the others resolve within it (or the article page for ``art_*``).
+    ``*_attr`` pulls an attribute instead of element text (e.g. the
+    reference's ``data-title`` URL-decode fallback, Daum_crawler.py:95-100,
+    and ``<time datetime>``, Google_Crawler.py:213-218)."""
+
+    item: str
+    link: str = "a"
+    title: str | None = None  # None → the link's text
+    title_attr: str | None = None
+    time: str | None = None
+    time_attr: str | None = None
+    img: str | None = None
+    img_attr: str = "src"
+    lead: str | None = None
+    art_title: str | None = None
+    art_time: str | None = None
+    art_time_attr: str | None = None
+    art_summary: str | None = None
+    art_img: str | None = None
+    art_img_attr: str = "src"
+
+
+def _sel_value(scope, selector: str | None, attr: str | None):
+    from .htmlsel import select_one
+
+    if selector is None:
+        return None
+    el = select_one(scope, selector)
+    if el is None:
+        return None
+    if attr:
+        return el.get(attr)
+    return el.text.strip()
+
+
+def parse_listing_selectors(html: str, sel: SelectorSet) -> list[ListingItem]:
+    from .htmlsel import parse_html, select, select_one
+
+    root = parse_html(html)
+    items: list[ListingItem] = []
+    for dom_idx, el in enumerate(select(root, sel.item)):
+        a = select_one(el, sel.link)
+        if a is None:
+            continue
+        title = None
+        if sel.title or sel.title_attr:
+            title = _sel_value(el, sel.title or sel.link, sel.title_attr)
+        if not title:
+            title = a.text.strip()
+        img_el = select_one(el, sel.img) if sel.img else None
+        lead_el = select_one(el, sel.lead) if sel.lead else None
+        items.append(
+            ListingItem(
+                dom_idx=dom_idx,
+                href=a.get("href") or "",
+                title=title,
+                time_raw=_sel_value(el, sel.time, sel.time_attr),
+                img=img_el.get(sel.img_attr) if img_el is not None else None,
+                lead=lead_el.inner_html().strip() if lead_el is not None else None,
+            )
+        )
+    return items
+
+
+def parse_article_selectors(html: str, sel: SelectorSet) -> dict:
+    from .htmlsel import parse_html, select_one
+
+    root = parse_html(html)
+    summ_el = select_one(root, sel.art_summary) if sel.art_summary else None
+    img_el = select_one(root, sel.art_img) if sel.art_img else None
+    return {
+        "title": _sel_value(root, sel.art_title, None) or "",
+        "time_raw": _sel_value(root, sel.art_time, sel.art_time_attr),
+        "summary": summ_el.inner_html().strip() if summ_el is not None else None,
+        "img": (img_el.get(sel.art_img_attr) or "") if img_el is not None else "",
+    }
+
+
+def parse_listing_for(cfg: SiteConfig, html: str) -> list[ListingItem]:
+    """Dispatch: selector-driven engine for real-HTML sites, compiled-regex
+    fast path for the synthetic corpus (both produce the same item shape)."""
+    if cfg.selectors is not None:
+        return parse_listing_selectors(html, cfg.selectors)
+    return parse_listing(html)
+
+
+def parse_article_for(cfg: SiteConfig, html: str) -> dict:
+    if cfg.selectors is not None:
+        return parse_article_selectors(html, cfg.selectors)
+    return parse_article(html)
+
+
 def parse_article(html: str) -> dict:
     t = _HEADLINE_RE.search(html)
     p = _PUBLISHED_RE.search(html)

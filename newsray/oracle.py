@@ -43,8 +43,8 @@ from .extract import (
     decode_payload,
     finalize_article,
     make_seq,
-    parse_article,
-    parse_listing,
+    parse_article_for,
+    parse_listing_for,
 )
 from .policy import CrawlPolicy
 from .sites import SITE_RANK, SITES
@@ -135,7 +135,7 @@ def run_oracle(web: SyntheticWeb, policy: CrawlPolicy | None = None) -> OracleRe
                 continue
             html = decode_payload(payload, enc)
             if row["kind"] == "listing":
-                items = parse_listing(html)
+                items = parse_listing_for(cfg, html)
                 metrics[(cfg.site, "items")] += len(items)
                 cap = effective_page_cap(cfg, row["category"])
                 if items and row["page_no"] + 1 <= cap:
@@ -220,7 +220,7 @@ def run_oracle(web: SyntheticWeb, policy: CrawlPolicy | None = None) -> OracleRe
                             continue
                         accepted.append(rec)
             else:  # article detail page (two-hop sites)
-                detail = parse_article(html)
+                detail = parse_article_for(cfg, html)
                 title = row["title"] or detail["title"]
                 if cfg.match_target == "title+summary":
                     target = title

@@ -59,8 +59,8 @@ from .extract import (
     decode_payload,
     finalize_article,
     make_seq,
-    parse_article,
-    parse_listing,
+    parse_article_for,
+    parse_listing_for,
 )
 from .frontier import ScheduleGroup, make_scheduler_pool
 from .oracle import effective_page_cap, make_matcher
@@ -213,7 +213,7 @@ def fetch_parse(batch: pa.Table, web_params: WebParams, policy: CrawlPolicy) -> 
             continue
         html = decode_payload(payload, enc)
         if row["kind"] == "listing":
-            items = parse_listing(html)
+            items = parse_listing_for(cfg, html)
             cap = effective_page_cap(cfg, row["category"])
             if items and row["page_no"] + 1 <= cap:
                 nxt = row["page_no"] + 1
@@ -249,7 +249,7 @@ def fetch_parse(batch: pa.Table, web_params: WebParams, policy: CrawlPolicy) -> 
                 c_lead.append(item.lead)
                 c_base.append(base)
         else:  # two-hop article detail page
-            detail = parse_article(html)
+            detail = parse_article_for(cfg, html)
             title = row["title"] or detail["title"]
             if cfg.match_target == "title+summary":
                 target = title

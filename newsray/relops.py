@@ -204,9 +204,6 @@ def customers_per_region(sf_dir: str):
     )
 
 
-N_JOIN_BUCKETS = 32
-
-
 @register(
     "revenue_by_priority",
     sql="""
@@ -222,9 +219,13 @@ def revenue_by_priority(sf_dir: str):
     bucket by hash(orderkey) % B, co-locate via ONE groupby, join + partially
     aggregate inside each bucket, then a tiny final groupby. This is the
     portable Ray Data large-join pattern (ray_guide 'Joins'); B scales with
-    the cluster, hot keys would be salted into sub-buckets."""
+    the cluster (tabular.n_buckets), hot keys would be salted into
+    sub-buckets."""
     from ray.data.aggregate import Count, Sum
 
+    from .tabular import n_buckets
+
+    N_JOIN_BUCKETS = n_buckets()
     orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     lineitem = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -295,12 +296,16 @@ def last_click_before_purchase(sf_dir: str):
     """As-of join (an operator Ray Data lacks): bucket both sides by
     hash(user_id), co-locate with one groupby, and run pandas ``merge_asof``
     per bucket over ts-sorted frames (ray_guide as-of pattern). Partitioning
-    assumption: a user's events fit one bucket group."""
+    assumption: a user's events fit one bucket group; B scales with the
+    cluster (tabular.n_buckets)."""
+    from .tabular import n_buckets
+
+    B = n_buckets()
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def prep(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_in(b["event_type"], value_set=pa.array(["purchase", "click"])))
-        bucket = pc.cast(pc.bit_wise_and(b["user_id"], pa.scalar(31)), pa.int64())
+        bucket = pc.cast(pc.bit_wise_and(b["user_id"], pa.scalar(B - 1)), pa.int64())
         return b.append_column("bucket", bucket)
 
     def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -354,9 +359,11 @@ def hourly_user_windows(sf_dir: str):
 
     # High-cardinality keyed aggregate (~1 group per row): Ray's native
     # groupby().aggregate() sort-aggregates per key and is ~8× slower here.
-    # Instead ONE coarse hash-partition shuffle (B buckets, B scales with
-    # the cluster) and a vectorized pandas aggregation inside each bucket.
-    B = 32
+    # Instead ONE coarse hash-partition shuffle (B buckets, scaled to the
+    # cluster) and a vectorized pandas aggregation inside each bucket.
+    from .tabular import n_buckets
+
+    B = n_buckets()
 
     def add_window(b: pd.DataFrame) -> pd.DataFrame:
         us = b["ts"].astype("datetime64[us]").astype("int64")  # epoch microseconds
@@ -488,29 +495,58 @@ def supplier_balance_by_nation(sf_dir: str):
 )
 def top10_customers_by_revenue(sf_dir: str):
     """Join + aggregate + global top-k: orders pre-aggregated by custkey
-    (partial combine before the key shuffle), the customer dimension
-    broadcast for the name lookup, then a distributed sort-limit."""
-    import pyarrow.parquet as pq
-
+    (partial combine before the key shuffle), then the per-customer
+    aggregate joins `customer` with a BUCKETED hash join — customer is a
+    fact-scale table, so broadcasting it as a driver dict (the round-1
+    shape) would ship GBs to every worker at 100×; the only global step is
+    the distributed sort-limit on the joined result."""
     from ray.data.aggregate import Count, Sum
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    lut_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+    from .tabular import n_buckets
 
+    B = n_buckets()
     ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     agg = ds.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
     )
 
-    def name_and_round(b: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        names = [lut[k] for k in b["o_custkey"].to_pylist()]
-        b = b.append_column("c_name", pa.array(names, pa.string()))
-        b = round_col(b, "revenue", 2)
-        return b.select(["c_name", "revenue", "n_orders"])
+    def tag_agg(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": b["o_custkey"],
+                "bucket": pc.cast(pc.bit_wise_and(b["o_custkey"], pa.scalar(B - 1)), pa.int64()),
+                "revenue": b["revenue"],
+                "n_orders": b["n_orders"],
+                "c_name": pa.nulls(b.num_rows, pa.string()),
+            }
+        )
 
+    def tag_cust(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": b["c_custkey"],
+                "bucket": pc.cast(pc.bit_wise_and(b["c_custkey"], pa.scalar(B - 1)), pa.int64()),
+                "revenue": pa.nulls(b.num_rows, pa.float64()),
+                "n_orders": pa.nulls(b.num_rows, pa.int64()),
+                "c_name": b["c_name"],
+            }
+        )
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    both = agg.map_batches(tag_agg, batch_format="pyarrow").union(
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["c_name"].isna()][["key", "revenue", "n_orders"]]
+        c = g[g["c_name"].notna()][["key", "c_name"]]
+        m = a.merge(c, on="key", how="inner")
+        m["n_orders"] = m["n_orders"].astype("int64")
+        return m[["c_name", "revenue", "n_orders"]]
+
+    joined = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
     return (
-        agg.map_batches(name_and_round, batch_format="pyarrow")
+        joined.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
         .sort(["revenue", "c_name"], descending=[True, False])
         .limit(10)
     )

@@ -65,6 +65,11 @@ class SiteConfig:
     politeness_delay: float = 1.0
     hot: bool = False  # known hot host (skew-splitting hint)
     categories: tuple[str, ...] = field(default_factory=tuple)
+    # real-HTML extraction (SURVEY §2.9): a CSS SelectorSet
+    # (extract.SelectorSet) switches this site from the synthetic-corpus
+    # regex parser to the selector engine (htmlsel.py) — "adding a real
+    # site" is registering a SiteConfig with selectors, nothing else
+    selectors: object | None = None
 
 
 SITES: dict[str, SiteConfig] = {}

@@ -28,6 +28,26 @@ def round_col(batch: pa.Table, col: str, digits: int) -> pa.Table:
     return batch.set_column(i, col, pa.array(r, pa.float64()))
 
 
+def n_buckets(min_b: int = 32) -> int:
+    """Hash-join / window bucket count scaled to the cluster (power of two,
+    ≈2 buckets per CPU, floor ``min_b``): a fixed constant makes each bucket
+    group hold 1/B of the table regardless of cluster size — the B the
+    docstrings promised would scale now does."""
+    cpu = 8.0
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpu = float(ray.cluster_resources().get("CPU", 8.0))
+    except Exception:
+        pass
+    target = max(min_b, int(cpu) * 2)
+    b = 1
+    while b < target:
+        b <<= 1
+    return b
+
+
 def sql_tag(op_id: str) -> str:
     """Marker comment embedded in oracle SQL for traceability to SURVEY §2."""
     return f"-- newsray operator {op_id}\n"
