@@ -24,6 +24,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench corpus breadth (sections per site beyond the reference's 86 seeds);
+# the scaling measurement uses a wider corpus so per-run fixed costs (exec
+# ramp, actor setup) are amortized the way an hours-long real crawl would
+BENCH_SECTIONS = int(os.environ.get("BENCH_SECTIONS", "100"))
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -51,10 +55,25 @@ def bench_crawl_config():
     # two-hop article fetches + page-2 listings) carry ~all the work;
     # deeper waves are tiny pagination tails that only measure overhead
     return PipelineConfig(
-        web_params=WebParams(extra_sections=100, articles_per_listing=800, hot_factor=6),
+        web_params=WebParams(
+            extra_sections=BENCH_SECTIONS, articles_per_listing=800, hot_factor=6
+        ),
         policy=CrawlPolicy(max_waves=2),
-        n_seen_shards=8,
-        n_sched_shards=4,
+        # state-actor pools scale with the cluster (and each shard reserves
+        # a CPU fraction) so both scaling levels pay proportionally for the
+        # seen-set/scheduler compute — an honest two-cluster-size comparison
+        # state-actor pools scale with the cluster so seen-set/scheduler
+        # compute parallelizes proportionally at every level; the actors
+        # stay at num_cpus=0 because a fractional reservation quantizes
+        # away a whole 1-CPU task slot at the 2-CPU level (measured: it
+        # turns the lo run into a 1-slot run and fabricates >1 efficiency)
+        n_seen_shards=max(2, NCPUS),
+        n_sched_shards=max(1, NCPUS // 2),
+        actor_num_cpus=0.0,
+        # TOTAL filter capacity is what matters: a fixed per-shard capacity
+        # would overload the cuckoo at small shard counts (eviction chains
+        # blow up past ~80% load — measured 200 s of kicking at 2 shards)
+        seen_capacity_per_shard=(1 << 22) // max(2, NCPUS),
         batch_size=None,
         cand_batch_size=8192,
         dedup_buckets=64,

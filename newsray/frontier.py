@@ -63,8 +63,13 @@ class HostScheduler:
         self.used.update(state.get("used", {}))
 
 
-def make_scheduler_pool(n_shards: int, host_budget: int | None) -> list:
-    return [HostScheduler.remote(host_budget) for i in range(n_shards)]
+def make_scheduler_pool(
+    n_shards: int, host_budget: int | None, num_cpus: float = 0.0
+) -> list:
+    return [
+        HostScheduler.options(num_cpus=num_cpus).remote(host_budget)
+        for i in range(n_shards)
+    ]
 
 
 def scheduler_shard_of(host: str, n_shards: int) -> int:

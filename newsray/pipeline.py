@@ -1,8 +1,9 @@
 """The Ray-Data-native crawl pipeline: BFS wave loop over the frontier
 (SURVEY.md §3.5, §7).
 
-Each wave is TWO heavy streaming Dataset executions (plus a metadata-sized
-next-frontier materialize):
+Each wave is exactly TWO streaming Dataset executions; the next frontier
+hands off LAZILY (its filter/relabel runs inside the next wave's plan over
+this wave's materialized outputs — zero extra executions per wave):
 
     A: frontier ──groupby(host)→ politeness/budget schedule (actor RPC, 1/host)
              ──repartition→ skew-spread released rows
@@ -151,6 +152,12 @@ FETCH_LOG_SCHEMA = pa.schema(
 # ---------------------------------------------------------------------------
 
 _ENGINES: dict = {}
+
+# diagnostic switch: skip all metrics RPCs (bench A/B only — wave metrics
+# come back empty; never set in normal runs)
+import os as _os
+
+_NO_METRICS = bool(_os.environ.get("NEWSRAY_NO_METRICS"))
 
 
 class _Engine:
@@ -441,6 +448,27 @@ def relevance_finalize(
     return pa.Table.from_pydict(out, schema=WAVE_SCHEMA)
 
 
+def make_stripe(k: int):
+    """Reorder a block's rows into residue-class order (0,k,2k,…,1,k+1,…):
+    Ray's repartition(shuffle=True) splits each block into CONTIGUOUS row
+    ranges, so seq-sorted scheduler output keeps cost locality — e.g. every
+    expensive listing row of a wave (each fans out ~10^2-10^3 items) sits at
+    the front of its host's block and lands in ONE downstream task (measured:
+    a 30 s straggler holding ~1/3 of the wave's output). Striping makes each
+    contiguous slice carry every k-th row — a deterministic cost-mix, no
+    extra shuffle, row set unchanged."""
+    import numpy as np
+
+    def stripe(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n <= 2:
+            return b
+        idx = np.argsort(np.arange(n) % k, kind="stable")
+        return b.take(pa.array(idx))
+
+    return stripe
+
+
 def keep_rowkind(kind: str):
     def fn(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch["rowkind"], kind))
@@ -467,6 +495,9 @@ class PipelineConfig:
     repartition_blocks: int = 16
     checkpoint_dir: str | None = None
     seen_capacity_per_shard: int = 1 << 18
+    # optional CPU reservation per state actor (0 = unreserved; a nonzero
+    # fraction quantizes away whole task slots at very small cluster sizes)
+    actor_num_cpus: float = 0.0
 
 
 class CrawlPipeline:
@@ -476,12 +507,17 @@ class CrawlPipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.web = SyntheticWeb(cfg.web_params)  # driver-side: seeds only
-        self.seen_shards = make_seen_pool(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
-        self.schedulers = make_scheduler_pool(cfg.n_sched_shards, cfg.policy.host_budget)
+        self.seen_shards = make_seen_pool(
+            cfg.n_seen_shards, cfg.seen_capacity_per_shard, cfg.actor_num_cpus
+        )
+        self.schedulers = make_scheduler_pool(
+            cfg.n_sched_shards, cfg.policy.host_budget, cfg.actor_num_cpus
+        )
         from .lineage import MetricsActor
 
         self.metrics = MetricsActor.remote()
         self.wave_metrics: list[dict] = []
+        self.stage_times: list[dict] = []
         self.fetch_logs: list[pa.Table] = []
         self.doc_tables: list[pa.Table] = []
         self.start_wave = 0
@@ -552,10 +588,13 @@ class CrawlPipeline:
         (filter + relabel of A's pagination rows and B's two-hop rows);
         its blocks stay in the object store.
         """
+        import time as _time
+
         cfg = self.cfg
         wp, policy = cfg.web_params, cfg.policy
         metrics = self.metrics
         ray.get([sh.begin_wave.remote() for sh in self.seen_shards])
+        _t0 = _time.time()
 
         tsites = [s for s, c in SITES.items() if c.title_seen]
         tsites_arr = pa.array(tsites)
@@ -567,6 +606,8 @@ class CrawlPipeline:
 
         def fetch_parse_m(b: pa.Table) -> pa.Table:
             out = fetch_parse(b, wp, policy)
+            if _NO_METRICS:
+                return out
             kinds = out["rowkind"]
             # ONE batched increment, ray.get'd: counts are durable before the
             # execution barrier, so the driver's wave_totals read cannot race
@@ -577,6 +618,7 @@ class CrawlPipeline:
                         "pages_fetched": b.num_rows,
                         "items_parsed": int(pc.sum(pc.equal(kinds, "cand")).as_py() or 0),
                         "docs_emitted": int(pc.sum(pc.equal(kinds, "doc")).as_py() or 0),
+                        "next_rows": int(pc.sum(pc.equal(kinds, "next")).as_py() or 0),
                     },
                 )
             )
@@ -586,7 +628,8 @@ class CrawlPipeline:
             is_cand = pc.equal(b["rowkind"], "cand")
             others = b.filter(pc.invert(is_cand))
             cands = cand_gate(b.filter(is_cand), policy)
-            ray.get(metrics.incr.remote(wave, "cand_admitted", cands.num_rows))
+            if not _NO_METRICS:
+                ray.get(metrics.incr.remote(wave, "cand_admitted", cands.num_rows))
             cands = url_wave.register(cands)
             return pa.concat_tables(
                 [others.select(WAVE_SCHEMA.names), cands.select(WAVE_SCHEMA.names)]
@@ -597,6 +640,7 @@ class CrawlPipeline:
             .repartition(cfg.repartition_blocks)  # parallel sort-map input
             .groupby("host")
             .map_groups(lambda g: sched_fn(g), batch_format="pandas")
+            .map_batches(make_stripe(cfg.repartition_blocks), batch_format="pyarrow")
             .repartition(cfg.repartition_blocks, shuffle=True)  # skew-spread
             .map_batches(fetch_parse_m, batch_format="pyarrow", batch_size=cfg.batch_size)
             # batch_size=None: inherit the fused task's output batches — an
@@ -605,6 +649,7 @@ class CrawlPipeline:
             .map_batches(gate_register, batch_format="pyarrow")
             .materialize()  # barrier: all URL wave-min registrations durable
         )
+        _tA = _time.time()
 
         # -- execution B: URL resolve → title claim → relevance/finalize ----
         def resolve_claim_finalize(b: pa.Table) -> pa.Table:
@@ -618,12 +663,17 @@ class CrawlPipeline:
                  accepted.filter(pc.invert(is_t)).select(WAVE_SCHEMA.names)]
             )
             out = relevance_finalize(merged, wp, policy)
+            if _NO_METRICS:
+                return out
             ray.get(
                 metrics.incr_many.remote(
                     wave,
                     {
                         "docs_emitted": int(
                             pc.sum(pc.equal(out["rowkind"], "doc")).as_py() or 0
+                        ),
+                        "frontier_rows": int(
+                            pc.sum(pc.equal(out["rowkind"], "frontier")).as_py() or 0
                         ),
                     },
                 )
@@ -638,7 +688,9 @@ class CrawlPipeline:
             .map_batches(resolve_claim_finalize, batch_format="pyarrow")
             .materialize()  # wave barrier: claims + finalize durable
         )
+        _tB = _time.time()
 
+        self._last_parsed, self._last_done = parsed, done  # bench diagnostics
         # retraction set: greedy title claims overtaken by a lower seq —
         # O(same-wave title collisions), tiny; broadcast once
         retracted: set[int] = set()
@@ -666,10 +718,13 @@ class CrawlPipeline:
             b = b.append_column("kind", kind)
             return b.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
 
-        nxt = (
-            parsed.map_batches(to_frontier, batch_format="pyarrow")
-            .union(done.map_batches(to_frontier, batch_format="pyarrow"))
-            .materialize()  # small control dataset; blocks stay distributed
+        # the next frontier stays LAZY: these filters execute inside the
+        # NEXT wave's exec A plan (over this wave's materialized parents) —
+        # no per-wave control materialize, no extra execution ramp. The
+        # driver's loop uses the metrics counters as a safe OVER-estimate of
+        # the row count (an extra empty wave is a no-op; see run()).
+        nxt = parsed.map_batches(to_frontier, batch_format="pyarrow").union(
+            done.map_batches(to_frontier, batch_format="pyarrow")
         )
 
         def flog_rows(b: pa.Table) -> pa.Table:
@@ -683,6 +738,13 @@ class CrawlPipeline:
 
         docs_ds = parsed.map_batches(keep_docs, batch_format="pyarrow").union(
             done.map_batches(keep_docs, batch_format="pyarrow")
+        )
+        # per-execution wall times for bench diagnostics (exec A, exec B,
+        # frontier assembly) — driver-side floats only
+        self.stage_times.append(
+            {"wave": wave, "exec_a": round(_tA - _t0, 3),
+             "exec_b": round(_tB - _tA, 3),
+             "frontier": round(_time.time() - _tB, 3)}
         )
         return docs_ds, nxt, flog_ds, len(retracted)
 
@@ -706,8 +768,15 @@ class CrawlPipeline:
             docs, nxt, flog, n_retracted = self.run_wave(wave, frontier)
             self.doc_tables.append(docs)
             self.fetch_logs.append(flog)
-            n_next = nxt.count()  # materialized → metadata read, no recompute
             totals = ray.get(self.metrics.wave_totals.remote(wave))
+            # SAFE OVER-estimate (ignores retracted frontier rows): if the
+            # true count is 0 the next wave runs over an empty dataset and
+            # terminates for free — never an under-count (which would drop
+            # rows). Exact counts ride the checkpoint (write_wave executes
+            # the dataset), not the hot loop.
+            n_next = int(totals.get("next_rows", 0)) + int(
+                totals.get("frontier_rows", 0)
+            )
             self.wave_metrics.append(
                 {
                     "wave": wave,
@@ -716,7 +785,7 @@ class CrawlPipeline:
                     "candidates": int(totals.get("items_parsed", 0)),
                     "docs": int(totals.get("docs_emitted", 0)),
                     "retracted": n_retracted,
-                    "next_frontier": n_next,
+                    "next_frontier_est": n_next,
                 }
             )
             if cfg.checkpoint_dir:
@@ -859,19 +928,52 @@ def _fuzzy_pass(arts: pa.Table) -> pa.Table:
 
 
 def _spans_batch(b: pa.Table) -> pa.Table:
+    """Flat article rows → interleaved span rows, built COLUMNARLY: flat
+    kind/text/media_ref/offset arrays + one ListArray.from_arrays — ~6× the
+    per-row dict construction (`extract.article_spans` stays the semantic
+    definition; conformance tests assert byte-equality against it)."""
     from .schema import DOCUMENTS, SPAN_STRUCT
 
-    doc_ids, spans = [], []
-    for rec in b.to_pylist():
-        cfg = SITES[rec["site"]]
-        doc_ids.append(rec["url"])
-        spans.append(article_spans(rec, cfg))
-    return pa.Table.from_pydict(
-        {
-            "doc_id": pa.array(doc_ids, pa.string()),
-            "spans": pa.array(spans, pa.list_(SPAN_STRUCT)),
-        },
-        schema=DOCUMENTS,
+    n = b.num_rows
+    if n == 0:
+        return pa.Table.from_pydict(
+            {"doc_id": [], "spans": []}, schema=DOCUMENTS
+        )
+    sites = b["site"].to_pylist()
+    titles = b["title"].to_pylist()
+    times = b["time"].to_pylist()
+    summaries = b["summary"].to_pylist()
+    imgs = b["img"].to_pylist()
+    urls = b["url"].to_pylist()
+
+    kinds: list[str] = []
+    texts: list[str] = []
+    refs: list[str] = []
+    offs: list[int] = []
+    offsets = [0]
+    for i in range(n):
+        k = 0
+        kinds.append("title"); texts.append(titles[i]); refs.append(""); offs.append(k); k += 1
+        kinds.append("time"); texts.append(times[i].isoformat()); refs.append(""); offs.append(k); k += 1
+        if SITES[sites[i]].has_summary and summaries[i]:
+            kinds.append("summary"); texts.append(summaries[i]); refs.append(""); offs.append(k); k += 1
+        if imgs[i]:
+            kinds.append("image"); texts.append(""); refs.append(imgs[i]); offs.append(k); k += 1
+        kinds.append("link"); texts.append(""); refs.append(urls[i]); offs.append(k); k += 1
+        offsets.append(offsets[-1] + k)
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(refs, pa.string()),
+            pa.array(offs, pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return pa.Table.from_arrays(
+        [pa.array(urls, pa.string()), spans], schema=DOCUMENTS
     )
 
 

@@ -264,9 +264,16 @@ class SeenShard:
         return len(self.exact)
 
 
-def make_seen_pool(n_shards: int, capacity_per_shard: int = 1 << 16) -> list:
+def make_seen_pool(
+    n_shards: int, capacity_per_shard: int = 1 << 16, num_cpus: float = 0.0
+) -> list:
+    """Shard actors reserve a small CPU fraction so the cluster's task
+    slots honestly pay for the seen-set's compute at every cluster size
+    (shard count scales with the cluster, so the reserved fraction is
+    proportional — the scaling measurement stays apples-to-apples)."""
     return [
-        SeenShard.remote(i, capacity_per_shard) for i in range(n_shards)
+        SeenShard.options(num_cpus=num_cpus).remote(i, capacity_per_shard)
+        for i in range(n_shards)
     ]
 
 

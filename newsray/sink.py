@@ -112,6 +112,37 @@ def day_grouped_export(arts: pa.Table, out_dir: str) -> dict[str, str]:
     return paths
 
 
+def merge_feed(new_items: list[dict], feed_path: str, cap: int = 50) -> list[dict]:
+    """Aggregator load-merge (the missing ``crawler.js``'s behavior, fully
+    specified by utils.js): LOAD the existing feed file (tolerant of a
+    missing/corrupt file — utils.js:7-15), PREPEND the new items
+    (utils.js:18), dedup by link keeping the first occurrence
+    (utils.js:26-28 — new items win), cap at the newest ``cap``
+    (utils.js:19), and atomically rewrite the file. Returns the merged
+    feed list."""
+    try:
+        with open(feed_path, encoding="utf-8") as f:
+            existing = json.load(f)
+        if not isinstance(existing, list):
+            existing = []
+    except (OSError, json.JSONDecodeError):
+        existing = []
+    merged: list[dict] = []
+    seen: set = set()
+    for item in list(new_items) + existing:
+        link = item.get("link") or item.get("url")
+        if link in seen:
+            continue
+        seen.add(link)
+        merged.append(item)
+    merged = merged[:cap]
+    tmp = feed_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(merged, f, ensure_ascii=False, indent=2)
+    os.replace(tmp, feed_path)
+    return merged
+
+
 def newest_feed(arts: pa.Table, cap: int = 50) -> pa.Table:
     """The aggregator's capped rolling feed (K3/O3): newest ``cap`` items by
     (time desc, url asc), link-deduped."""

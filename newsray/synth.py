@@ -51,6 +51,58 @@ def _words(prefix: str, n: int, rng: random.Random) -> list[str]:
     return sorted(out)
 
 
+def load_keyword_config(path: str) -> tuple[list[str], list[str], list[dict]]:
+    """Ingest the reference's keyword-config file format — a JSON object
+    ``{"keywords": [{"category": str, "items": [str, ...]}, ...],
+    "exclude_keywords": [...]}`` — flattening category lists in order
+    (loader parity: Daum_crawler.py:17-23; the same shape is loaded
+    identically by all ten reference crawlers). Returns
+    (includes, excludes, rows) with rows shaped for the `keywords` table."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    includes = [item for cat in data["keywords"] for item in cat["items"]]
+    excludes = [item for cat in data["exclude_keywords"] for item in cat["items"]]
+    rows = [
+        {"keyword": item, "category": cat["category"], "polarity": "include"}
+        for cat in data["keywords"]
+        for item in cat["items"]
+    ] + [
+        {"keyword": item, "category": cat["category"], "polarity": "exclude"}
+        for cat in data["exclude_keywords"]
+        for item in cat["items"]
+    ]
+    return includes, excludes, rows
+
+
+def write_keyword_config(path: str, seed: int = 42) -> None:
+    """Emit the synthetic keyword lists in the reference's config format
+    (fixture/round-trip helper — the user-facing "edit the keyword file"
+    surface, SURVEY §2.9)."""
+    import json
+    from collections import defaultdict
+
+    includes, excludes, rows = build_keywords(seed)
+    by_cat: dict[tuple[str, str], list[str]] = defaultdict(list)
+    for r in rows:
+        by_cat[(r["polarity"], r["category"])].append(r["keyword"])
+    payload = {
+        "keywords": [
+            {"category": c, "items": v}
+            for (p, c), v in sorted(by_cat.items())
+            if p == "include"
+        ],
+        "exclude_keywords": [
+            {"category": c, "items": v}
+            for (p, c), v in sorted(by_cat.items())
+            if p == "exclude"
+        ],
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(payload, f, ensure_ascii=False, indent=2)
+
+
 def build_keywords(seed: int = 42, n_include: int = 486, n_exclude: int = 259):
     """Return (includes, excludes, rows) — rows for the `keywords` table."""
     rng = random.Random(seed * 7919 + 13)

@@ -64,3 +64,47 @@ def test_newest_feed_cap_order_dedup(arts):
     assert times == sorted(times, reverse=True)
     urls = feed["url"].to_pylist()
     assert len(urls) == len(set(urls))
+
+
+def test_merge_feed_load_prepend_dedup_cap(tmp_path):
+    """utils.js semantics: load existing → prepend new → link-dedup (new
+    wins) → cap 50 → rewrite; corrupt/missing files reset to empty."""
+    import json
+
+    from newsray.sink import merge_feed
+
+    feed = tmp_path / "news.json"
+    # missing file → feed is just the new items
+    out = merge_feed([{"link": "u1", "title": "a"}], str(feed))
+    assert [i["link"] for i in out] == ["u1"]
+    # prepend + dedup by link: the NEW copy of u1 wins, order new-first
+    out = merge_feed(
+        [{"link": "u2", "title": "b"}, {"link": "u1", "title": "a2"}], str(feed)
+    )
+    assert [i["link"] for i in out] == ["u2", "u1"]
+    assert out[1]["title"] == "a2"
+    assert json.loads(feed.read_text())[0]["link"] == "u2"
+    # cap at 50 newest
+    out = merge_feed([{"link": f"n{i}"} for i in range(60)], str(feed))
+    assert len(out) == 50 and out[0]["link"] == "n0"
+    # corrupt file recovers (Google_Crawler.py:135-138 shape)
+    feed.write_text("{not json")
+    out = merge_feed([{"link": "x"}], str(feed))
+    assert [i["link"] for i in out] == ["x"]
+
+
+def test_keyword_config_roundtrip(tmp_path):
+    """The reference's keyword-config format loads to the same flattened
+    lists the synthetic generator produces (Daum_crawler.py:17-23 parity)."""
+    from newsray.synth import build_keywords, load_keyword_config, write_keyword_config
+
+    p = tmp_path / "News_keyword.json"
+    write_keyword_config(str(p))
+    inc, exc, rows = load_keyword_config(str(p))
+    binc, bexc, brows = build_keywords()
+    assert sorted(inc) == sorted(binc)
+    assert sorted(exc) == sorted(bexc)
+    assert {r["polarity"] for r in rows} == {"include", "exclude"}
+    assert len(rows) == len(brows)
+    cats = {r["category"] for r in rows if r["polarity"] == "include"}
+    assert len(cats) == 6  # mirror of the reference's 6 include categories

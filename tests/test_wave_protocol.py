@@ -1,0 +1,86 @@
+"""Unit tests for the wave-protocol building blocks added in round 2:
+greedy title claim with retraction, replay-safe resolve, incremental dump
+log, and the cost-striping permutation. All run on the undecorated actor
+class — no Ray session needed."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from newsray.seen import SeenShard
+
+
+def _shard(capacity: int = 1 << 12):
+    cls = SeenShard.__ray_actor_class__ if hasattr(SeenShard, "__ray_actor_class__") else SeenShard
+    sh = cls.__new__(cls)
+    cls.__init__(sh, 0, capacity)
+    return sh
+
+
+def test_claim_greedy_min_seq_with_retraction():
+    sh = _shard()
+    sh.begin_wave()
+    # arrival order: seq 20 first (provisional win), then 10 (overtakes),
+    # then 30 (loses), on the same title key
+    assert sh.claim_insert(["t:k"], [20]) == [True]
+    assert sh.claim_insert(["t:k"], [10]) == [True]
+    assert sh.claim_insert(["t:k"], [30]) == [False]
+    assert sh.wave_retractions() == [20]
+    # replay of the winner stays True; replay of the retracted seq is False
+    assert sh.claim_insert(["t:k"], [10]) == [True]
+    assert sh.claim_insert(["t:k"], [20]) == [False]
+    # next wave: the key is cross-wave seen regardless of retraction
+    sh.begin_wave()
+    assert sh.claim_insert(["t:k"], [5]) == [False]
+    assert sh.wave_retractions() == []
+
+
+def test_resolve_insert_replay_safe():
+    sh = _shard()
+    sh.begin_wave()
+    sh.register_wave_min(["u:a", "u:b"], [7, 9])
+    assert sh.resolve_insert(["u:a", "u:b"], [7, 9]) == [True, True]
+    # a retried task re-presents the same accepted rows → same verdicts
+    assert sh.resolve_insert(["u:a", "u:b"], [7, 9]) == [True, True]
+    # a non-minimum seq never wins, replayed or not
+    assert sh.resolve_insert(["u:a"], [8]) == [False]
+    # next wave: cross-wave seen, and the replay window is closed
+    sh.begin_wave()
+    sh.register_wave_min(["u:a"], [7])
+    assert sh.resolve_insert(["u:a"], [7]) == [False]
+
+
+def test_dump_since_is_insertion_ordered_delta():
+    sh = _shard()
+    sh.begin_wave()
+    sh.register_wave_min(["u:a", "u:b"], [1, 2])
+    sh.resolve_insert(["u:a", "u:b"], [1, 2])
+    off = sh.log_len()
+    assert sorted(sh.dump_since(0)) == ["u:a", "u:b"]
+    sh.begin_wave()
+    sh.register_wave_min(["u:c"], [3])
+    sh.resolve_insert(["u:c"], [3])
+    assert sh.dump_since(off) == ["u:c"]  # delta ∝ new keys only
+    # restore replay reproduces the exact set
+    sh2 = _shard()
+    sh2.restore(sh.dump_since(0))
+    assert sh2.exact == sh.exact
+
+
+def test_stripe_spreads_cost_classes():
+    """Contiguous slices of a striped block each carry every k-th row — the
+    expensive head-of-block rows (listings) land in distinct slices."""
+    from newsray.pipeline import make_stripe
+
+    k = 4
+    n = 32
+    b = pa.table({"i": list(range(n))})
+    out = make_stripe(k)(b)
+    vals = out["i"].to_pylist()
+    assert sorted(vals) == list(range(n))  # a permutation, nothing dropped
+    slice_len = n // k
+    for j in range(k):
+        sl = vals[j * slice_len : (j + 1) * slice_len]
+        # each slice holds one residue class → consecutive originals split
+        assert {v % k for v in sl} == {j}
+        assert sl == sorted(sl)  # relative order preserved (stable)
