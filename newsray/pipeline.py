@@ -162,7 +162,12 @@ _NO_METRICS = bool(_os.environ.get("NEWSRAY_NO_METRICS"))
 
 class _Engine:
     def __init__(self, web_params: WebParams, policy: CrawlPolicy):
-        self.web = SyntheticWeb(web_params)
+        from .webfixture import build_web
+
+        # web backend per params: synthetic generator or saved-HTML fixture
+        # dir (which also registers its SiteConfigs in THIS process — Ray
+        # workers included, so dynamic sites need no code changes)
+        self.web = build_web(web_params)
         self.policy = policy
         self.matchers: dict[str, KeywordMatcher] = {
             site: make_matcher(self.web, SITES[site]) for site in SITES
@@ -505,8 +510,10 @@ class CrawlPipeline:
     ray.init(); the caller owns the session."""
 
     def __init__(self, cfg: PipelineConfig):
+        from .webfixture import build_web
+
         self.cfg = cfg
-        self.web = SyntheticWeb(cfg.web_params)  # driver-side: seeds only
+        self.web = build_web(cfg.web_params)  # driver-side: seeds only
         self.seen_shards = make_seen_pool(
             cfg.n_seen_shards, cfg.seen_capacity_per_shard, cfg.actor_num_cpus
         )

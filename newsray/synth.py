@@ -143,6 +143,9 @@ class WebParams:
     # restrict the seed frontier to a subset of sites (mini fixtures); the
     # synthetic web itself still serves every host
     only_sites: tuple[str, ...] | None = None
+    # real-HTML mode: path to a fixture dir (webfixture.FixtureWeb) — the
+    # web backend serves saved pages instead of the synthetic generator
+    fixture_dir: str | None = None
 
 
 def _h(params: WebParams, *parts) -> int:
