@@ -153,6 +153,12 @@ FETCH_LOG_SCHEMA = pa.schema(
 
 _ENGINES: dict = {}
 
+# vector twins of textfns.html_to_text's regexes (summary cleanup)
+import re as _re
+
+_BR_PAT = _re.compile(r"<br\s*/?>", _re.IGNORECASE)
+_TAG_PAT = _re.compile(r"<[^>]+>")
+
 # diagnostic switch: skip all metrics RPCs (bench A/B only — wave metrics
 # come back empty; never set in normal runs)
 import os as _os
@@ -394,63 +400,118 @@ def relevance_finalize(
     single-hop survivors are finalized into doc rows; two-hop survivors
     become next-wave frontier rows (rowkind='frontier').
 
-    The relevance predicate runs VECTORIZED per site sub-batch
-    (KeywordMatcher.relevant_batch — pyarrow substring kernels for the
-    hot substring variant); only surviving rows take the per-row
-    finalize path."""
+    Fully columnar: relevance runs per site sub-batch
+    (KeywordMatcher.relevant_batch), and the finalize tail — the timestamp
+    cascade, recency window, image absolutization, summary cleanup and
+    day-group labels — runs VECTORIZED per site over pandas/pyarrow columns
+    (datefns.parse_cascade_series etc.). The scalar ``finalize_article``
+    stays the semantic reference (oracle + two-hop path); the vector twins
+    are property-tested equivalent in tests/test_functions.py."""
+    from .canonicalize import absolutize
+    from .datefns import day_group_labels_series, parse_cascade_series
+
     eng = get_engine(web_params, policy)
-    rows = batch.to_pylist()
+    n = batch.num_rows
+    if n == 0:
+        return pa.Table.from_pydict(_empty_wave_dict(), schema=WAVE_SCHEMA)
+    sites = batch["site"].to_pylist()
+    titles = batch["title"].to_pylist()
+    leads = batch["lead"].to_pylist()
     # 1) vectorized relevance per site group
     by_site: dict[str, list[int]] = {}
-    for i, row in enumerate(rows):
-        by_site.setdefault(row["site"], []).append(i)
-    keep = [True] * len(rows)
+    for i, s in enumerate(sites):
+        by_site.setdefault(s, []).append(i)
+    keep = [True] * n
     for site, idxs in by_site.items():
         cfg = SITES[site]
         if cfg.match_target not in ("title", "title+lead"):
             continue  # title+summary sites check post-fetch (in fetch_parse)
         targets = []
         for i in idxs:
-            t = rows[i]["title"] or ""
-            if cfg.match_target == "title+lead" and rows[i]["lead"]:
-                t = t + " " + html_to_text(rows[i]["lead"])
+            t = titles[i] or ""
+            if cfg.match_target == "title+lead" and leads[i]:
+                t = t + " " + html_to_text(leads[i])
             targets.append(t)
         for i, ok in zip(idxs, eng.matchers[site].relevant_batch(targets)):
             keep[i] = ok
-    # 2) per-row finalize / forward for survivors
-    out = _empty_wave_dict()
-    for i, row in enumerate(rows):
-        if not keep[i]:
-            continue
-        cfg = SITES[row["site"]]
-        if cfg.detail_hop:
-            row = dict(row)
-            row["rowkind"] = "frontier"
-            for name in WAVE_SCHEMA.names:
-                out[name].append(row.get(name))
-            continue
-        rec = finalize_article(
-            cfg,
-            row["canon_url"],
-            row["title"],
-            row["time_raw"],
-            row["lead"],
-            row["img"],
-            row["discovered_seq"],
-            policy.now,
+    kept = batch.filter(pa.array(keep, pa.bool_()))
+
+    parts: list[pa.Table] = []
+    # 2a) two-hop survivors → next-wave frontier rows (column swap only)
+    is_hop = pa.array(
+        [SITES[s].detail_hop for s in kept["site"].to_pylist()], pa.bool_()
+    )
+    hop = kept.filter(is_hop)
+    if hop.num_rows:
+        hop = hop.set_column(
+            hop.column_names.index("rowkind"),
+            "rowkind",
+            pa.array(["frontier"] * hop.num_rows),
         )
-        if rec is None:
+        parts.append(hop.select(WAVE_SCHEMA.names))
+
+    # 2b) single-hop survivors → vector finalize per site
+    fin = kept.filter(pc.invert(is_hop))
+    for site in sorted(set(fin["site"].to_pylist())):
+        cfg = SITES[site]
+        sub = fin.filter(pc.equal(fin["site"], site))
+        ts = parse_cascade_series(sub["time_raw"].to_pylist(), cfg.time_formats, policy.now)
+        ok = ts.notna()
+        if cfg.recency_days is not None:
+            import pandas as pd
+
+            now = pd.Timestamp(policy.now)
+            ok &= (now - ts) <= pd.Timedelta(days=cfg.recency_days)
+            ok &= ts <= now + pd.Timedelta(days=1)
+        mask = pa.array(ok.to_numpy(), pa.bool_())
+        sub = sub.filter(mask)
+        if sub.num_rows == 0:
             continue
-        if cfg.recency_days is not None and not within_last_days(
-            rec["time"], policy.now, cfg.recency_days
-        ):
-            continue
-        out_row = {name: None for name in WAVE_SCHEMA.names}
-        out_row.update(rec)
-        out_row["rowkind"] = "doc"
-        for name in WAVE_SCHEMA.names:
-            out[name].append(out_row[name])
-    return pa.Table.from_pydict(out, schema=WAVE_SCHEMA)
+        ts = ts[ok.to_numpy()].reset_index(drop=True)
+        base = f"https://{cfg.host}/"
+        img_abs = [
+            "" if not v else (v if v.startswith("https://") and ".test./" not in v
+                              else absolutize(v, base))
+            for v in sub["img"].to_pylist()
+        ]
+        if cfg.has_summary:
+            import pandas as pd
+
+            lead_s = pd.Series(sub["lead"].to_pylist(), dtype="object")
+            cleaned = (
+                lead_s.str.replace(_BR_PAT, "\n", regex=True)
+                .str.replace(_TAG_PAT, "", regex=True)
+                .str.strip()
+            )
+            summ = cleaned.where(lead_s.notna() & (lead_s != ""), None).tolist()
+        else:
+            summ = [None] * sub.num_rows
+        labels = day_group_labels_series(ts, cfg.weekday_style).tolist()
+        m = sub.num_rows
+        live = {
+            "rowkind": ["doc"] * m,
+            "site": [site] * m,
+            "title": sub["title"].to_pylist(),
+            "time": pa.Array.from_pandas(ts, type=pa.timestamp("us")),
+            "img": img_abs,
+            "url": sub["canon_url"].to_pylist(),
+            "original_url": sub["canon_url"].to_pylist(),
+            "summary": summ,
+            "date_group": labels,
+            "discovered_seq": sub["discovered_seq"],
+        }
+        cols = {}
+        for name, typ in zip(WAVE_SCHEMA.names, WAVE_SCHEMA.types):
+            if name in live:
+                v = live[name]
+                cols[name] = v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v, typ)
+            else:
+                cols[name] = pa.nulls(m, typ)
+        parts.append(pa.Table.from_pydict(cols, schema=WAVE_SCHEMA))
+
+    if not parts:
+        return pa.Table.from_pydict(_empty_wave_dict(), schema=WAVE_SCHEMA)
+    return pa.concat_tables(parts)
 
 
 def make_stripe(k: int):

@@ -247,3 +247,50 @@ def test_canonicalize_fast_path_equals_rfc_resolution():
         h = rng.choice(forms).format(i=i)
         for b in bases:
             assert canonicalize(h, b) == slow(h, b), (h, b)
+
+
+def test_parse_cascade_series_equals_scalar():
+    """The vectorized cascade (hot finalize path) must agree with the scalar
+    reference on every format, junk input, and edge case."""
+    import pandas as pd
+
+    from newsray.datefns import DEFAULT_NOW, parse_cascade, parse_cascade_series
+    from newsray.sites import SITES
+    from newsray.synth import SyntheticWeb, WebParams
+
+    web = SyntheticWeb(WebParams())
+    raws = [
+        None, "", "곧 업데이트", "09:30", "9:05", "24:00", "2025.04.18. 09:30:00",
+        "2025-04-18 09:30:00", "2025-04-18 09:30", "2025.04.18 09:30",
+        "04-18 09:30", "02-29 10:00", "13-01 10:00", "2025년 4월 18일",
+        "2024년 2월 30일", "2025-04-18T00:30:00Z", "2025-4-18T00:30:00Z",
+        "기자 아무개 | 2025-04-18 09:30", "a | b | 2025-04-18 09:30",
+        "2025-04-18T00:30:00", "garbage", "2025.04.18. 09:30",
+    ]
+    # plus every site's organically generated stamps
+    for site, cfg in SITES.items():
+        for j in range(40):
+            raws.append(web.time_raw(cfg, f"{site}0p1i{j}n{j}"))
+    cascades = {cfg.time_formats for cfg in SITES.values()}
+    cascades.add(tuple({f for c in cascades for f in c}))  # the union cascade
+    for fmts in cascades:
+        vec = parse_cascade_series(raws, fmts, DEFAULT_NOW)
+        for raw, v in zip(raws, vec):
+            want = parse_cascade(raw, fmts, DEFAULT_NOW)
+            got = None if pd.isna(v) else v.to_pydatetime()
+            assert got == want, (raw, fmts, got, want)
+
+
+def test_day_group_labels_series_equals_scalar():
+    import pandas as pd
+
+    from newsray.datefns import DEFAULT_NOW, day_group_label, day_group_labels_series
+
+    ts = pd.Series(pd.to_datetime([
+        "2025-04-18 09:30:00", "2024-12-31 23:59:59", "2025-01-01 00:00:00",
+        "2025-02-09 12:00:00",
+    ]))
+    for style in ("korean", "english"):
+        got = day_group_labels_series(ts, style).tolist()
+        want = [day_group_label(t.to_pydatetime(), style) for t in ts]
+        assert got == want
