@@ -75,6 +75,27 @@ def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
     return written
 
 
+def write_documents_ds(arts_ds, out_dir: str) -> None:
+    """The SCALE write path: articles as a distributed Dataset → interleaved
+    documents written straight from the object store with
+    ``Dataset.write_parquet(partition_cols=...)`` — one directory per
+    (site, day), no driver materialization (the Table-based
+    ``write_documents`` above stays for test-sized exports). A resumed run
+    lists finished partitions and skips them."""
+    from .pipeline import _spans_batch
+
+    def spans_with_partition(b: pa.Table) -> pa.Table:
+        docs = _spans_batch(b)
+        day = [_day_key(d) for d in b["date_group"].to_pylist()]
+        return docs.append_column("site", b["site"]).append_column(
+            "day", pa.array(day, pa.string())
+        )
+
+    arts_ds.map_batches(spans_with_partition, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["site", "day"]
+    )
+
+
 def read_documents(out_dir: str) -> pa.Table:
     return pq.read_table(out_dir)
 

@@ -108,3 +108,32 @@ def test_keyword_config_roundtrip(tmp_path):
     assert len(rows) == len(brows)
     cats = {r["category"] for r in rows if r["polarity"] == "include"}
     assert len(cats) == 6  # mirror of the reference's 6 include categories
+
+
+def test_write_documents_ds_partitioned(ray_session, tmp_path):
+    """Scale write path: distributed partitioned parquet, one directory per
+    (site, day), readable back as the same document rows."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from newsray.pipeline import CrawlPipeline, PipelineConfig
+    from newsray.policy import CrawlPolicy
+    from newsray.sink import write_documents_ds
+    from newsray.synth import WebParams
+
+    res = CrawlPipeline(
+        PipelineConfig(web_params=WebParams(only_sites=("fnnews", "gukje")),
+                       policy=CrawlPolicy())
+    ).run(streaming_finalize=True)
+    out = str(tmp_path / "docs")
+    write_documents_ds(res["articles_ds"], out)
+    parts = sorted(
+        os.path.join(r, d) for r, ds, _ in os.walk(out) for d in ds if d.startswith("day=")
+    )
+    assert parts, "expected site=/day= partition directories"
+    back = pq.read_table(out)
+    n_arts = res["articles_ds"].count()
+    assert back.num_rows == n_arts and n_arts > 0
+    assert {"doc_id", "spans"} <= set(back.column_names)
