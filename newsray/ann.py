@@ -140,6 +140,97 @@ def knn_lsh_cosine(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat ANN (label-seeded coarse quantizer; the other 10^10-scale path)
+# ---------------------------------------------------------------------------
+
+N_CELLS_PROBE = 3
+IVF_ROUND = 6  # centroid dp: probe choice robust to partial-sum association
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Coarse-quantizer training, distributed: per-batch partial sums of the
+    L2-normalized vectors keyed by `label` (the seed cells), merged in a
+    tiny per-cell groupby — the mergeable-sketch shape. Only the O(#cells)
+    centroid matrix ever reaches the driver; rows come back sorted by label
+    and rounded to IVF_ROUND dp so the cell geometry is association-order
+    stable."""
+    ds = read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        m = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        out_l, out_n, out_s = [], [], []
+        for lab in np.unique(labels):
+            rows = m[labels == lab]
+            out_l.append(int(lab))
+            out_n.append(int(rows.shape[0]))
+            out_s.append(rows.sum(axis=0).tolist())
+        return pa.Table.from_pydict(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "part_n": pa.array(out_n, pa.int64()),
+                "psum": pa.array(out_s, pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum(np.asarray(list(g["psum"]), dtype=np.float64), axis=0)
+        c = np.round(s / float(g["part_n"].sum()), IVF_ROUND)
+        return pd.DataFrame({"label": [int(g["label"].iloc[0])], "centroid": [c.tolist()]})
+
+    cent = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # O(#cells) rows — the one intentionally tiny collect
+        .sort_values("label")
+    )
+    return np.asarray(list(cent["centroid"]), dtype=np.float64)
+
+
+@register("knn_ivf_cosine", sql=golden_sql("knn_ivf_cosine"))
+def knn_ivf_cosine(sf_dir: str):
+    """IVF-flat ANN over the embedding column: train a coarse quantizer
+    (cell centroids, built distributed — `_ivf_centroids`), rank cells by
+    centroid·query and probe the nearest N_CELLS_PROBE; one map_batches
+    pass assigns every vector to its nearest centroid (vectorized matmul
+    against the tiny broadcast centroid matrix) and keeps vectors landing
+    in probed cells; candidates rank exactly (sort + limit = distributed
+    top-k). Recall < 1 by design — vectors whose nearest cell is unprobed
+    are never scored; deterministic (seeded corpus, rounded centroids), so
+    a sequential golden recompute (golden.py) value-checks it."""
+    q = _load_query(sf_dir)
+    cents = _ivf_centroids(sf_dir)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    order = np.argsort(-(cn @ q), kind="stable")
+    probe = set(int(c) for c in order[:N_CELLS_PROBE])
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign_score(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cell = np.argmax(m @ cn.T, axis=1)
+        keep = np.array([int(c) in probe for c in cell], dtype=bool)
+        keep &= ids != QUERY_VEC_ID
+        cos = np.round(m[keep] @ q, 6)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "cos_sim": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_score, batch_format="pyarrow", batch_size=4096)
+        .sort(["cos_sim", "vec_id"], descending=[True, False])
+        .limit(TOP_K)
+    )
+
+
 @register(
     "embedding_centroids",
     sql="""

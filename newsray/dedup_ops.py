@@ -24,8 +24,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
-import ray
 
 from .registry import register
 from .tabular import read
@@ -413,45 +411,89 @@ def ngram_jaccard_by_source(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 COS_T = 0.45  # calibrated to this corpus (max off-diag cos ≈ 0.51)
+N_EMB_BUCKETS = 8  # pair-block grid; replication per vector = N_EMB_BUCKETS
+
+
+def _emb_pair_block(ids: np.ndarray, mat: np.ndarray, ga: int, gb: int):
+    """Exact cosine pairs ≥ COS_T between bucket ga and bucket gb of an
+    id-bucketed corpus slice (ids sorted ascending, rows L2-normalized).
+    One (ga, gb) grid cell owns each pair exactly once: within-bucket cells
+    emit upper-triangle pairs; cross cells emit every (a-side, b-side) hit
+    ordered (min, max). Shared by the distributed path and the sequential
+    golden so the BLAS shapes — hence the float64 bits — are identical."""
+    bucket = ids & (N_EMB_BUCKETS - 1)
+    if ga == gb:
+        sel = np.nonzero(bucket == ga)[0]
+        sids, sm = ids[sel], mat[sel]
+        cos = sm @ sm.T
+        iu, ju = np.triu_indices(len(sids), k=1)
+        mask = cos[iu, ju] >= COS_T
+        return sids[iu[mask]], sids[ju[mask]], cos[iu, ju][mask]
+    sa = np.nonzero(bucket == ga)[0]
+    sb = np.nonzero(bucket == gb)[0]
+    aids, bids = ids[sa], ids[sb]
+    cos = mat[sa] @ mat[sb].T
+    ii, jj = np.nonzero(cos >= COS_T)
+    x, y = aids[ii], bids[jj]
+    return np.minimum(x, y), np.maximum(x, y), cos[ii, jj]
 
 
 @register("dedup_embedding_cosine", sql=golden_sql("dedup_embedding_cosine"))
 def dedup_embedding_cosine(sf_dir: str):
-    """Embedding near-dup pairs: every batch is matmul'd against the full
-    (broadcast) L2-normalized matrix — one ray.put, zero shuffle. Returns
-    (vec_a < vec_b, cos ≥ COS_T). Value-checked against a
-    sequential numpy golden with identical block shapes (golden.py). At 10^10 scale the broadcast matrix is
-    replaced by the LSH-bucketed path in ann.py."""
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
-
+    """Embedding near-dup pairs, exact, with NO O(corpus) broadcast and no
+    driver-side read: bucketed block all-pairs. Each vector hashes to one of
+    B id-buckets and is replicated to the B grid cells (min(i,j), max(i,j))
+    its bucket participates in; ONE groupby co-locates each cell, which
+    matmuls its two (sorted, normalized) sides and keeps cos ≥ COS_T. Every
+    pair lands in exactly one cell, so no post-distinct is needed. Total
+    compute stays the exact n²/2; replication is ×B and per-cell work is
+    (n/B)², so B scales ~√cluster (the all-pairs exchange analogue of the
+    bucketed hash join). Value-checked against a sequential golden that
+    walks the same grid with the same BLAS shapes (golden.py); the
+    sub-quadratic approximate path for high-similarity regimes is the LSH
+    module in ann.py."""
+    B = N_EMB_BUCKETS
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def block(b: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        q_ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
-        q = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        cos = q @ all_mat.T  # (batch, N)
-        out_a, out_b, out_c = [], [], []
-        for r in range(len(q_ids)):
-            hits = np.nonzero((cos[r] >= COS_T) & (all_ids > q_ids[r]))[0]
-            for h in hits:
-                out_a.append(int(q_ids[r]))
-                out_b.append(int(all_ids[h]))
-                out_c.append(round(float(cos[r, h]), 4))
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        bucket = ids & (B - 1)
+        n = len(ids)
+        # one emission per (vector, other-bucket): cell = sorted pair
+        other = np.tile(np.arange(B, dtype=np.int64), n)
+        own = np.repeat(bucket, B)
+        idx = np.repeat(np.arange(n), B)
+        ga, gb = np.minimum(own, other), np.maximum(own, other)
+        emb = b["embedding"].combine_chunks().take(pa.array(idx, pa.int64()))
         return pa.Table.from_pydict(
             {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
-                "cos_sim": pa.array(out_c, pa.float64()),
+                "cell": pa.array(ga * B + gb, pa.int64()),
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "embedding": emb,
             }
         )
 
-    return ds.map_batches(block, batch_format="pyarrow", batch_size=1024)
+    def verify_cell(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        ga, gb = cell // B, cell % B
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        mat = np.asarray(list(g["embedding"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        a, b_, c = _emb_pair_block(ids, mat, ga, gb)
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(a, dtype="int64"),
+                "vec_b": pd.Series(b_, dtype="int64"),
+                "cos_sim": pd.Series(np.round(c, 4), dtype="float64"),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(verify_cell, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

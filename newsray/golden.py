@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = 3
+GOLDEN_VERSION = 4
 GOLDEN_ROOT = "/tmp/newsray_golden"
 SF_FIXED = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -202,24 +202,23 @@ def golden_ngram_jaccard_by_source(sf_dir: str) -> pa.Table:
 
 
 def golden_dedup_embedding_cosine(sf_dir: str) -> pa.Table:
-    from .dedup_ops import COS_T
+    from .dedup_ops import N_EMB_BUCKETS, _emb_pair_block
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     out_a, out_b, out_c = [], [], []
-    # blocked like the pipeline (same BLAS shapes → bit-identical doubles)
-    for s in range(0, len(ids), 1024):
-        q = mat[s : s + 1024]
-        q_ids = ids[s : s + 1024]
-        cos = q @ mat.T
-        for r in range(len(q_ids)):
-            hits = np.nonzero((cos[r] >= COS_T) & (ids > q_ids[r]))[0]
-            for h in hits:
-                out_a.append(int(q_ids[r]))
-                out_b.append(int(ids[h]))
-                out_c.append(round(float(cos[r, h]), 4))
+    # walk the same (ga, gb) pair-block grid the distributed path groups by
+    # (shared kernel → identical BLAS shapes → bit-identical doubles)
+    for ga in range(N_EMB_BUCKETS):
+        for gb in range(ga, N_EMB_BUCKETS):
+            a, b, c = _emb_pair_block(ids, mat, ga, gb)
+            out_a.extend(int(x) for x in a)
+            out_b.extend(int(x) for x in b)
+            out_c.extend(float(x) for x in np.round(c, 4))
     return pa.table(
         {
             "vec_a": pa.array(out_a, pa.int64()),
@@ -251,6 +250,42 @@ def golden_knn_lsh_cosine(sf_dir: str) -> pa.Table:
         cos = np.round(mm @ q, 6)
         for k in range(len(mi)):
             if int(sigs[k]) in probe and int(mi[k]) != QUERY_VEC_ID:
+                rows.append((int(mi[k]), float(cos[k])))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:TOP_K]
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cos_sim": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+
+
+def golden_knn_ivf_cosine(sf_dir: str) -> pa.Table:
+    from .ann import IVF_ROUND, N_CELLS_PROBE, QUERY_VEC_ID, TOP_K, _load_query
+
+    q = _load_query(sf_dir)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    # sequential centroid build (vs the pipeline's partial-sum merge; the
+    # IVF_ROUND rounding makes the cell geometry association-order stable)
+    cents = np.stack(
+        [np.round(m[labels == lab].mean(axis=0), IVF_ROUND) for lab in np.unique(labels)]
+    )
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probe = set(int(c) for c in np.argsort(-(cn @ q), kind="stable")[:N_CELLS_PROBE])
+    rows = []
+    for s in range(0, len(ids), 4096):  # mirror the pipeline's batch shape
+        mm, mi = m[s : s + 4096], ids[s : s + 4096]
+        cell = np.argmax(mm @ cn.T, axis=1)
+        cos = np.round(mm @ q, 6)
+        for k in range(len(mi)):
+            if int(cell[k]) in probe and int(mi[k]) != QUERY_VEC_ID:
                 rows.append((int(mi[k]), float(cos[k])))
     rows.sort(key=lambda r: (-r[1], r[0]))
     rows = rows[:TOP_K]
@@ -388,6 +423,7 @@ GOLDENS = {
     "ngram_jaccard_by_source": golden_ngram_jaccard_by_source,
     "dedup_embedding_cosine": golden_dedup_embedding_cosine,
     "knn_lsh_cosine": golden_knn_lsh_cosine,
+    "knn_ivf_cosine": golden_knn_ivf_cosine,
     "media_features": golden_media_features,
     "video_frame_sample": golden_video_frame_sample,
     "crawl_articles": golden_crawl_articles,

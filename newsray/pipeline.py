@@ -750,9 +750,9 @@ class CrawlPipeline:
 
         done = (
             parsed.map_batches(keep_rowkind("cand"), batch_format="pyarrow")
-            # candidates concentrate in the listing-bearing blocks; spread
-            # them so resolve/relevance parallelize across the cluster
-            .repartition(cfg.repartition_blocks)
+            # no repartition here: exec A's stripe+skew-spread already gives
+            # every block a deterministic candidate mix, so another all-to-all
+            # would only add an exchange barrier before resolve/relevance
             .map_batches(resolve_claim_finalize, batch_format="pyarrow")
             .materialize()  # wave barrier: claims + finalize durable
         )
@@ -904,6 +904,9 @@ class CrawlPipeline:
         group by sorting on ``discovered_seq`` (SURVEY §7.4/§7.5.2) — while
         every other site's rows stream past untouched. Nothing but counts
         ever reaches the driver."""
+        import time as _time
+
+        _t0 = _time.time()
         fuzzy_sites = pa.array([s for s, c in SITES.items() if c.fuzzy_dedup])
         doc_ds_list = [
             t if not isinstance(t, pa.Table) else ray.data.from_arrow(t)
@@ -918,6 +921,7 @@ class CrawlPipeline:
         for d in doc_ds_list[1:]:
             docs_ds = docs_ds.union(d)
         docs_ds = docs_ds.materialize()
+        self.finalize_metrics = {"union_materialize": round(_time.time() - _t0, 3)}
 
         def keep_nonfuzzy(b: pa.Table) -> pa.Table:
             b = b.filter(pc.invert(pc.is_in(b["site"], value_set=fuzzy_sites)))
@@ -941,6 +945,7 @@ class CrawlPipeline:
             "documents_ds": documents_ds,
             "fetch_logs": self.fetch_logs,
             "wave_metrics": self.wave_metrics,
+            "finalize_metrics": self.finalize_metrics,
         }
 
 
