@@ -584,6 +584,11 @@ class CrawlPipeline:
         from .lineage import MetricsActor
 
         self.metrics = MetricsActor.remote()
+        self._fuzzy_sites = pa.array([s for s, c in SITES.items() if c.fuzzy_dedup])
+        self.fuzzy_buf = (
+            FuzzyTitleBuffer.remote() if len(self._fuzzy_sites) else None
+        )
+        self.retracted_seqs: set[int] = set()
         self.wave_metrics: list[dict] = []
         self.stage_times: list[dict] = []
         self.fetch_logs: list[pa.Table] = []
@@ -671,15 +676,34 @@ class CrawlPipeline:
 
         # -- execution A: schedule → fetch+parse → gate → URL register ------
         sched_fn = ScheduleGroup(self.schedulers)
+        fuzzy_buf, fuzzy_arr = self.fuzzy_buf, self._fuzzy_sites
+
+        def push_fuzzy_proj(out: pa.Table) -> list:
+            """Side-channel the fuzzy-sites' doc (site, seq, title) rows to
+            the buffer actor so finalize's scan needs no extra doc pass.
+            Returns the pending ref (ray.get'd with the metrics RPC — counts
+            and scan input are durable before the execution barrier)."""
+            if fuzzy_buf is None or out.num_rows == 0:
+                return []
+            m = pc.and_(
+                pc.equal(out["rowkind"], "doc"),
+                pc.is_in(out["site"], value_set=fuzzy_arr),
+            )
+            if not pc.any(m).as_py():
+                return []
+            return [fuzzy_buf.add.remote(out.filter(m).select(FUZZY_PROJ_COLS))]
 
         def fetch_parse_m(b: pa.Table) -> pa.Table:
             out = fetch_parse(b, wp, policy)
+            refs = push_fuzzy_proj(out)
             if _NO_METRICS:
+                if refs:
+                    ray.get(refs)
                 return out
             kinds = out["rowkind"]
             # ONE batched increment, ray.get'd: counts are durable before the
             # execution barrier, so the driver's wave_totals read cannot race
-            ray.get(
+            refs.append(
                 metrics.incr_many.remote(
                     wave,
                     {
@@ -690,6 +714,7 @@ class CrawlPipeline:
                     },
                 )
             )
+            ray.get(refs)
             return out
 
         def gate_register(b: pa.Table) -> pa.Table:
@@ -731,9 +756,12 @@ class CrawlPipeline:
                  accepted.filter(pc.invert(is_t)).select(WAVE_SCHEMA.names)]
             )
             out = relevance_finalize(merged, wp, policy)
+            refs = push_fuzzy_proj(out)
             if _NO_METRICS:
+                if refs:
+                    ray.get(refs)
                 return out
-            ray.get(
+            refs.append(
                 metrics.incr_many.remote(
                     wave,
                     {
@@ -746,6 +774,7 @@ class CrawlPipeline:
                     },
                 )
             )
+            ray.get(refs)
             return out
 
         done = (
@@ -764,6 +793,7 @@ class CrawlPipeline:
         retracted: set[int] = set()
         for seqs in ray.get([sh.wave_retractions.remote() for sh in self.seen_shards]):
             retracted.update(seqs)
+        self.retracted_seqs.update(retracted)
         drop_ref = ray.put(frozenset(retracted)) if retracted else None
 
         def drop_retracted(b: pa.Table) -> pa.Table:
@@ -898,16 +928,19 @@ class CrawlPipeline:
 
     def finalize_streaming(self) -> dict:
         """Scale-path finalize: article/document rows never aggregate on the
-        driver. The order-dependent fuzzy near-dup scan runs as a keyed
-        ``groupby(site).map_groups`` over ONLY the fuzzy-enabled sites'
-        rows — the reference's per-run scan order is preserved inside the
-        group by sorting on ``discovered_seq`` (SURVEY §7.4/§7.5.2) — while
-        every other site's rows stream past untouched. Nothing but counts
-        ever reaches the driver."""
+        driver. The order-dependent fuzzy near-dup scan (sequential by
+        reference semantics — SURVEY §7.4/§7.5.2) consumes the (site, seq,
+        title) projections the wave stages already side-channelled to the
+        buffer actor — so it needs NO extra pass over the doc datasets —
+        and returns only the accepted seq set, which a parallel broadcast
+        filter applies inside the one finalize execution. This replaces a
+        ``groupby(site).map_groups`` formulation whose sort/exchange
+        machinery cost ~11 s of pure overhead at bench scale for ~3 s of
+        actual work. Nothing row-shaped ever reaches the driver."""
         import time as _time
 
         _t0 = _time.time()
-        fuzzy_sites = pa.array([s for s, c in SITES.items() if c.fuzzy_dedup])
+        fuzzy_sites = self._fuzzy_sites
         doc_ds_list = [
             t if not isinstance(t, pa.Table) else ray.data.from_arrow(t)
             for t in self.doc_tables
@@ -920,25 +953,42 @@ class CrawlPipeline:
         docs_ds = doc_ds_list[0]
         for d in doc_ds_list[1:]:
             docs_ds = docs_ds.union(d)
-        docs_ds = docs_ds.materialize()
-        self.finalize_metrics = {"union_materialize": round(_time.time() - _t0, 3)}
+        # docs_ds stays LAZY: its per-wave parents are already materialized,
+        # so each finalize pass re-runs only cheap rowkind filters — no full
+        # doc-block rewrite, one fewer execution ramp.
+        self._docs_ds_final = docs_ds  # bench diagnostics
 
-        def keep_nonfuzzy(b: pa.Table) -> pa.Table:
-            b = b.filter(pc.invert(pc.is_in(b["site"], value_set=fuzzy_sites)))
+        kept_ref = None
+        if self.fuzzy_buf is not None:
+            # waves restored from a checkpoint arrived as driver-side tables
+            # (their stages never ran here): push their projections into the
+            # buffer before scanning — the scan's same-seq skip makes a
+            # repeated finalize idempotent
+            extras = []
+            for t in self.doc_tables:
+                if isinstance(t, pa.Table) and t.num_rows:
+                    m = pc.is_in(t["site"], value_set=fuzzy_sites)
+                    if pc.any(m).as_py():
+                        extras.append(
+                            self.fuzzy_buf.add.remote(
+                                t.filter(m).select(FUZZY_PROJ_COLS)
+                            )
+                        )
+            if extras:
+                ray.get(extras)
+            kept_ref = self.fuzzy_buf.scan.remote(list(self.retracted_seqs))
+        self.finalize_metrics = {"fuzzy_scan_kickoff": round(_time.time() - _t0, 3)}
+
+        def final_filter(b: pa.Table) -> pa.Table:
+            if kept_ref is not None and b.num_rows:
+                is_f = pc.is_in(b["site"], value_set=fuzzy_sites)
+                if pc.any(is_f).as_py():
+                    kept = pa.array(ray.get(kept_ref), pa.int64())
+                    ok = pc.is_in(b["discovered_seq"], value_set=kept)
+                    b = b.filter(pc.or_(pc.invert(is_f), ok))
             return b.select(ARTICLE_COLS).cast(ARTS_SCHEMA)
 
-        def keep_fuzzy(b: pa.Table) -> pa.Table:
-            b = b.filter(pc.is_in(b["site"], value_set=fuzzy_sites))
-            return b.select(ARTICLE_COLS).cast(ARTS_SCHEMA)
-
-        fuzzy_kept = (
-            docs_ds.map_batches(keep_fuzzy, batch_format="pyarrow")
-            .groupby("site")
-            .map_groups(_fuzzy_scan_group, batch_format="pandas")
-        )
-        arts_ds = docs_ds.map_batches(keep_nonfuzzy, batch_format="pyarrow").union(
-            fuzzy_kept
-        )
+        arts_ds = docs_ds.map_batches(final_filter, batch_format="pyarrow")
         documents_ds = arts_ds.map_batches(_spans_batch, batch_format="pyarrow")
         return {
             "articles_ds": arts_ds,
@@ -954,25 +1004,65 @@ ARTS_SCHEMA = pa.schema(
 )
 
 
-def _fuzzy_scan_group(g: pd.DataFrame) -> pa.Table:
-    """One fuzzy-enabled site's sequential near-dup scan, run INSIDE a keyed
-    group (off the driver): sort by discovered_seq — the reference's scan
-    order — then first-accepted-wins with the verbatim threshold. Exact
-    normalized repeats short-circuit before the bit-parallel LCS."""
-    g = g.sort_values("discovered_seq", kind="mergesort")
-    cfg = SITES[g["site"].iloc[0]]
-    keep: list[bool] = []
-    mem: list[str] = []
-    mem_exact: set[str] = set()
-    for t in g["title"]:
-        norm = normalize_for_fuzzy(t)
-        if norm in mem_exact or fuzzy_is_dup(t, mem, cfg.fuzzy_threshold):
-            keep.append(False)
-            continue
-        mem.append(norm)
-        mem_exact.add(norm)
-        keep.append(True)
-    return pa.Table.from_pandas(g[keep], schema=ARTS_SCHEMA, preserve_index=False)
+FUZZY_PROJ_COLS = ["site", "discovered_seq", "title"]
+
+
+def _fuzzy_scan_tables(tables: list[pa.Table], drop: frozenset) -> "np.ndarray":
+    """The order-dependent fuzzy near-dup scan, off the driver: concatenates
+    (site, discovered_seq, title) projection tables and runs each fuzzy
+    site's sequential first-accepted-wins scan in discovered_seq order —
+    the reference's scan order, threshold verbatim — returning ONLY the
+    accepted seqs (int64). Replay-safe: repeated pushes of the same seq
+    (task retries, repeated finalize) collapse via the sorted same-seq
+    skip; retracted seqs are excluded up front. Exact normalized repeats
+    short-circuit before the bit-parallel LCS."""
+    import numpy as np
+
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return np.empty(0, dtype=np.int64)
+    t = pa.concat_tables(live)
+    accepted: list[int] = []
+    for site in pc.unique(t["site"]).to_pylist():
+        sub = t.filter(pc.equal(t["site"], site))
+        order = pc.sort_indices(sub["discovered_seq"])
+        seqs = sub["discovered_seq"].take(order).to_pylist()
+        titles = sub["title"].take(order).to_pylist()
+        thr = SITES[site].fuzzy_threshold
+        mem: list[str] = []
+        mem_exact: set[str] = set()
+        prev = None
+        for sq, ti in zip(seqs, titles):
+            if sq == prev or sq in drop:
+                continue
+            prev = sq
+            norm = normalize_for_fuzzy(ti)
+            if norm in mem_exact or fuzzy_is_dup(ti, mem, thr):
+                continue
+            mem.append(norm)
+            mem_exact.add(norm)
+            accepted.append(sq)
+    return np.asarray(accepted, dtype=np.int64)
+
+
+@ray.remote(num_cpus=0)
+class FuzzyTitleBuffer:
+    """Accumulates the fuzzy-enabled sites' (site, seq, title) doc
+    projections as the wave stages emit them — three narrow columns per
+    fuzzy doc, held in ONE actor (never the driver), so finalize needs no
+    extra pass over the doc datasets to gather scan input. At 10^10 docs
+    this shards per fuzzy site (the scan is per-site sequential anyway);
+    num_cpus=0 like the other state actors — a fractional reservation
+    quantizes away whole task slots at small cluster sizes."""
+
+    def __init__(self):
+        self._tables: list[pa.Table] = []
+
+    def add(self, t: pa.Table) -> None:
+        self._tables.append(t)
+
+    def scan(self, drop: list[int]) -> "np.ndarray":
+        return _fuzzy_scan_tables(self._tables, frozenset(drop))
 
 
 def _fuzzy_pass(arts: pa.Table) -> pa.Table:
