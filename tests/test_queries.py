@@ -92,6 +92,11 @@ def test_rows_only_ops_structural(harness):
     brute = _to_pandas(qs["knn_brute_cosine"](SF))
     assert knn["cos_sim"].max() <= brute["cos_sim"].max() + 1e-3
 
+    ivf = _to_pandas(qs["knn_ivf_cosine"](SF))
+    assert len(ivf) <= 10 and 0 not in set(ivf["vec_id"])
+    assert (ivf["cos_sim"].to_numpy()[:-1] >= ivf["cos_sim"].to_numpy()[1:]).all()
+    assert ivf["cos_sim"].max() <= brute["cos_sim"].max() + 1e-9
+
     media = _to_pandas(qs["media_features"](SF))
     assert len(media) == 500
     assert (media["width"] >= 16).all() and (media["n_bytes"] > 8).all()

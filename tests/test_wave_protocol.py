@@ -84,3 +84,28 @@ def test_stripe_spreads_cost_classes():
         # each slice holds one residue class → consecutive originals split
         assert {v % k for v in sl} == {j}
         assert sl == sorted(sl)  # relative order preserved (stable)
+
+
+def test_fuzzy_scan_tables_replay_and_retraction_safe():
+    """The finalize scan dedupes replayed pushes (same seq twice — task
+    retries / repeated finalize) and excludes retracted seqs, preserving
+    the sequential first-accepted-wins semantics."""
+    from newsray.pipeline import _fuzzy_scan_tables
+    from newsray.sites import SITES
+
+    site = next(s for s, c in SITES.items() if c.fuzzy_dedup)
+    t = pa.table(
+        {
+            "site": [site] * 3,
+            "discovered_seq": [10, 20, 30],
+            "title": ["알파 경제 뉴스 속보", "알파 경제 뉴스 속보", "완전히 다른 제목 하나"],
+        }
+    )
+    base = _fuzzy_scan_tables([t], frozenset())
+    # seq 20 is an exact repeat of 10's title -> dropped; 10 and 30 accepted
+    assert list(base) == [10, 30]
+    # replayed push of the same projection: identical result
+    assert list(_fuzzy_scan_tables([t, t], frozenset())) == [10, 30]
+    # retraction of the first winner promotes nothing retroactively wrong:
+    # 10 is excluded up front, so 20 becomes the first holder of that title
+    assert list(_fuzzy_scan_tables([t, t], frozenset({10}))) == [20, 30]
