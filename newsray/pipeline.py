@@ -637,29 +637,29 @@ class CrawlPipeline:
         frontier never aggregate on the driver (the driver sees counts and
         the tiny title-retraction set; per-wave driver state is O(hosts)).
 
-        TWO heavy streaming executions per wave, ZERO candidate shuffles:
+        ONE fused heavy streaming execution per wave, ZERO candidate
+        shuffles: schedule (groupby host — the one unavoidable exchange,
+        one politeness/budget RPC per host) → repartition (skew-spread) →
+        fused fetch+parse → candidate gate → greedy URL CLAIM → deferred
+        title RECORD → vectorized relevance + finalize, materialized.
 
-          A. schedule (groupby host — the one unavoidable exchange, one
-             politeness/budget RPC per host) → repartition (skew-spread) →
-             fused fetch+parse → candidate gate → URL wave-min REGISTER;
-             the materialize barrier makes every registration durable;
-          B. URL RESOLVE+insert (drops same-wave losers and cross-wave
-             seen) → greedy title CLAIM (title-seen sites, post-URL rows
-             only — oracle ordering; one-phase with retraction, seen.py)
-             → vectorized relevance + finalize, materialized.
+        Within-wave exact URL dedup (min-discovered_seq wins) is the
+        shards' greedy claim-with-retraction (seen.py claim_insert):
+        duplicates of a key hash-route to one shard, the first claimant
+        wins provisionally, a lower seq overtakes and RETRACTS the earlier
+        one, and the wave barrier's broadcast filter drops retracted seqs
+        from the wave's outputs — exactly the per-key minimum with no
+        register/resolve barrier in between. Title contention (title-seen
+        sites) cannot resolve greedily in the same pass — a claimant's
+        validity depends on whether its URL claim survives — so shards
+        record every claimant and ``resolve_titles`` picks
+        min(claimants − url_retracted) per key at the barrier (title keys
+        insert only then, so a title held solely by URL-retracted rows
+        stays unseen, matching the oracle). The barrier work is two tiny
+        RPC rounds; both retraction sets ride the same drop filter.
 
-        Within-wave exact URL dedup (min-discovered_seq wins) uses the
-        shards' two-phase register/resolve protocol — duplicates of a key
-        already hash-route to one shard, so no groupby co-location is
-        needed. Titles use the one-phase greedy claim instead: the wave
-        barrier collects the retracted seqs (claims overtaken by a lower
-        seq) and a broadcast filter drops them from the wave's doc and
-        frontier outputs, which lands exactly the per-key minimum without
-        the third execution the two-phase title pass used to cost.
-
-        A third, metadata-sized execution materializes the next frontier
-        (filter + relabel of A's pagination rows and B's two-hop rows);
-        its blocks stay in the object store.
+        The next frontier (filter + relabel of pagination and two-hop
+        rows) stays a lazy, metadata-sized plan over the wave's blocks.
         """
         import time as _time
 
@@ -717,15 +717,42 @@ class CrawlPipeline:
             ray.get(refs)
             return out
 
-        def gate_register(b: pa.Table) -> pa.Table:
+        def gate_claim_finalize(b: pa.Table) -> pa.Table:
             is_cand = pc.equal(b["rowkind"], "cand")
             others = b.filter(pc.invert(is_cand))
             cands = cand_gate(b.filter(is_cand), policy)
+            n_admitted = cands.num_rows
+            cands = url_wave.claim(cands)  # greedy URL dedup w/ retraction
+            is_t = pc.is_in(cands["site"], value_set=tsites_arr)
+            t_rows = cands.filter(is_t)
+            if t_rows.num_rows:
+                t_rows = title_wave.record(t_rows)  # deferred contention
+            merged = pa.concat_tables(
+                [t_rows.select(WAVE_SCHEMA.names),
+                 cands.filter(pc.invert(is_t)).select(WAVE_SCHEMA.names)]
+            )
+            fin = relevance_finalize(merged, wp, policy)
+            refs = push_fuzzy_proj(fin)
             if not _NO_METRICS:
-                ray.get(metrics.incr.remote(wave, "cand_admitted", cands.num_rows))
-            cands = url_wave.register(cands)
+                refs.append(
+                    metrics.incr_many.remote(
+                        wave,
+                        {
+                            "cand_admitted": n_admitted,
+                            "docs_emitted": int(
+                                pc.sum(pc.equal(fin["rowkind"], "doc")).as_py() or 0
+                            ),
+                            "frontier_rows": int(
+                                pc.sum(pc.equal(fin["rowkind"], "frontier")).as_py()
+                                or 0
+                            ),
+                        },
+                    )
+                )
+            if refs:
+                ray.get(refs)
             return pa.concat_tables(
-                [others.select(WAVE_SCHEMA.names), cands.select(WAVE_SCHEMA.names)]
+                [others.select(WAVE_SCHEMA.names), fin.select(WAVE_SCHEMA.names)]
             )
 
         parsed = (
@@ -739,59 +766,24 @@ class CrawlPipeline:
             # batch_size=None: inherit the fused task's output batches — an
             # explicit batch_size larger than the upstream block size makes
             # Ray COALESCE all blocks into one task (serial wave!)
-            .map_batches(gate_register, batch_format="pyarrow")
-            .materialize()  # barrier: all URL wave-min registrations durable
-        )
-        _tA = _time.time()
-
-        # -- execution B: URL resolve → title claim → relevance/finalize ----
-        def resolve_claim_finalize(b: pa.Table) -> pa.Table:
-            accepted = url_wave.resolve(b)
-            is_t = pc.is_in(accepted["site"], value_set=tsites_arr)
-            t_rows = accepted.filter(is_t)
-            if t_rows.num_rows:
-                t_rows = title_wave.claim(t_rows)
-            merged = pa.concat_tables(
-                [t_rows.select(WAVE_SCHEMA.names),
-                 accepted.filter(pc.invert(is_t)).select(WAVE_SCHEMA.names)]
-            )
-            out = relevance_finalize(merged, wp, policy)
-            refs = push_fuzzy_proj(out)
-            if _NO_METRICS:
-                if refs:
-                    ray.get(refs)
-                return out
-            refs.append(
-                metrics.incr_many.remote(
-                    wave,
-                    {
-                        "docs_emitted": int(
-                            pc.sum(pc.equal(out["rowkind"], "doc")).as_py() or 0
-                        ),
-                        "frontier_rows": int(
-                            pc.sum(pc.equal(out["rowkind"], "frontier")).as_py() or 0
-                        ),
-                    },
-                )
-            )
-            ray.get(refs)
-            return out
-
-        done = (
-            parsed.map_batches(keep_rowkind("cand"), batch_format="pyarrow")
-            # no repartition here: exec A's stripe+skew-spread already gives
-            # every block a deterministic candidate mix, so another all-to-all
-            # would only add an exchange barrier before resolve/relevance
-            .map_batches(resolve_claim_finalize, batch_format="pyarrow")
+            .map_batches(gate_claim_finalize, batch_format="pyarrow")
             .materialize()  # wave barrier: claims + finalize durable
         )
-        _tB = _time.time()
+        _tA = _time.time()
+        _tB = _tA  # fused protocol: no second execution
 
-        self._last_parsed, self._last_done = parsed, done  # bench diagnostics
-        # retraction set: greedy title claims overtaken by a lower seq —
-        # O(same-wave title collisions), tiny; broadcast once
+        self._last_parsed, self._last_done = parsed, parsed  # bench diagnostics
+        # retraction sets, both O(same-wave key collisions), tiny:
+        # URL claims overtaken by a lower seq, then the deferred title
+        # contention resolved against them (two RPC rounds, driver sees
+        # only seqs); both ride one broadcast drop filter
         retracted: set[int] = set()
         for seqs in ray.get([sh.wave_retractions.remote() for sh in self.seen_shards]):
+            retracted.update(seqs)
+        r_u = sorted(retracted)
+        for seqs in ray.get(
+            [sh.resolve_titles.remote(r_u) for sh in self.seen_shards]
+        ):
             retracted.update(seqs)
         self.retracted_seqs.update(retracted)
         drop_ref = ray.put(frozenset(retracted)) if retracted else None
@@ -821,9 +813,7 @@ class CrawlPipeline:
         # no per-wave control materialize, no extra execution ramp. The
         # driver's loop uses the metrics counters as a safe OVER-estimate of
         # the row count (an extra empty wave is a no-op; see run()).
-        nxt = parsed.map_batches(to_frontier, batch_format="pyarrow").union(
-            done.map_batches(to_frontier, batch_format="pyarrow")
-        )
+        nxt = parsed.map_batches(to_frontier, batch_format="pyarrow")
 
         def flog_rows(b: pa.Table) -> pa.Table:
             t = b.filter(pc.equal(b["rowkind"], "flog")).select(FETCH_LOG_SCHEMA.names)
@@ -834,9 +824,7 @@ class CrawlPipeline:
         def keep_docs(b: pa.Table) -> pa.Table:
             return drop_retracted(b.filter(pc.equal(b["rowkind"], "doc")))
 
-        docs_ds = parsed.map_batches(keep_docs, batch_format="pyarrow").union(
-            done.map_batches(keep_docs, batch_format="pyarrow")
-        )
+        docs_ds = parsed.map_batches(keep_docs, batch_format="pyarrow")
         # per-execution wall times for bench diagnostics (exec A, exec B,
         # frontier assembly) — driver-side floats only
         self.stage_times.append(

@@ -120,10 +120,15 @@ class SeenShard:
         # verdicts instead of silently dropping its rows
         self.wave_min: dict[str, int] = {}
         self.wave_accepted: dict[str, int] = {}
-        # greedy claim state (title keyspace): key -> winning seq, plus the
-        # seqs whose provisional acceptance a lower-seq claim retracted
+        # greedy claim state (URL keyspace in the fused protocol): key ->
+        # winning seq, plus the seqs whose provisional acceptance a
+        # lower-seq claim retracted
         self.claims: dict[str, int] = {}
         self.retracted: set[int] = set()
+        # deferred title contention (fused protocol): key -> every claimant
+        # seq this wave; winners picked at the wave barrier once the URL
+        # retractions are known (resolve_titles)
+        self.tclaims: dict[str, set[int]] = {}
         # If an insert ever fails (table beyond design load), the cuckoo can
         # produce FALSE NEGATIVES; from then on every membership answer must
         # consult the exact store (correctness over speed — SURVEY §7.5.5).
@@ -170,6 +175,7 @@ class SeenShard:
         self.wave_accepted = {}
         self.claims = {}
         self.retracted = set()
+        self.tclaims = {}
 
     def register_wave_min(self, keys: list[str], seqs: list[int]) -> int:
         wm = self.wave_min
@@ -237,6 +243,51 @@ class SeenShard:
 
     def wave_retractions(self) -> list[int]:
         return sorted(self.retracted)
+
+    # -- deferred title contention (fused one-execution wave protocol) ------
+    #
+    # With URL dedup itself greedy (claim_insert above), a title claimant's
+    # validity isn't knowable in-task: its URL claim may be retracted later
+    # by a lower-seq duplicate, and the title must then fall to the next
+    # VALID claimant — one the greedy protocol would already have rejected.
+    # So the shard records EVERY same-wave claimant and resolves at the wave
+    # barrier, when the URL retraction set is final:
+    #   winner(key) = min(claimants(key) − url_retracted)
+    # The key is inserted into the seen store only at resolve time and only
+    # if a valid winner exists — a title held solely by URL-retracted rows
+    # stays unseen (exactly the oracle: those rows never reach the title
+    # check), and resolve returns every non-winning claimant seq for the
+    # wave's drop filter. Replay-safe: claimant sets are idempotent.
+
+    def record_title_claim(self, keys: list[str], seqs: list[int]) -> list[bool]:
+        out = []
+        tc = self.tclaims
+        for k, s in zip(keys, seqs):
+            holders = tc.get(k)
+            if holders is not None:
+                holders.add(s)
+                out.append(True)  # contender — barrier decides
+                continue
+            if self._seen_before(k):
+                out.append(False)  # held since an earlier wave: dead for sure
+                continue
+            tc[k] = {s}
+            out.append(True)
+        return out
+
+    def resolve_titles(self, url_retracted: list[int]) -> list[int]:
+        dead = set(url_retracted)
+        drops: list[int] = []
+        for k, holders in self.tclaims.items():
+            valid = holders - dead
+            if valid:
+                winner = min(valid)
+                drops.extend(s for s in holders if s != winner)
+                if not self._seen_before(k):  # idempotent on driver retry
+                    self._insert(k)
+            else:
+                drops.extend(holders)  # no valid holder: key stays unseen
+        return sorted(set(drops))
 
     def contains(self, keys: list[str]) -> list[bool]:
         return [k in self.exact for k in keys]
@@ -318,9 +369,17 @@ class WaveMinStage:
         return self._verdict_filter(batch, "resolve_insert")
 
     def claim(self, batch):
-        """One-phase greedy claim (title keyspace): no prior register pass,
-        retractions collected at the wave barrier."""
+        """One-phase greedy claim (no prior register pass): first claimant
+        wins provisionally, lower seq overtakes + retracts; retractions
+        collected at the wave barrier."""
         return self._verdict_filter(batch, "claim_insert")
+
+    def record(self, batch):
+        """Deferred contention (fused wave protocol): record every same-wave
+        claimant, dropping only keys already held from earlier waves; the
+        barrier's resolve_titles picks winners once URL retractions are
+        known."""
+        return self._verdict_filter(batch, "record_title_claim")
 
     def _verdict_filter(self, batch, method: str):
         import pyarrow as pa

@@ -109,3 +109,27 @@ def test_fuzzy_scan_tables_replay_and_retraction_safe():
     # retraction of the first winner promotes nothing retroactively wrong:
     # 10 is excluded up front, so 20 becomes the first holder of that title
     assert list(_fuzzy_scan_tables([t, t], frozenset({10}))) == [20, 30]
+
+
+def test_deferred_title_resolution_honors_url_retractions():
+    """Fused-protocol cascade: the minimum title claimant can lose its URL
+    claim to a lower-seq duplicate AFTER claiming the title; the title must
+    then fall to the next VALID claimant, and a title whose every claimant
+    was URL-retracted must stay unseen for later waves."""
+    sh = _shard()
+    sh.begin_wave()
+    # three same-wave claimants of title T: seqs 100 (will be URL-retracted),
+    # 120, 130; plus title X claimed only by 100
+    assert sh.record_title_claim(["t:T", "t:T", "t:T", "t:X"], [100, 120, 130, 100]) == [
+        True, True, True, True,
+    ]
+    drops = sh.resolve_titles([100])  # URL retraction kills seq 100
+    # T falls to 120; 130 loses; 100's claims die with it
+    assert 130 in drops and 120 not in drops
+    assert sh.contains(["t:T"]) == [True]
+    assert sh.contains(["t:X"]) == [False]  # no valid holder -> stays unseen
+    # next wave: T is held, X is free
+    sh.begin_wave()
+    assert sh.record_title_claim(["t:T", "t:X"], [200, 201]) == [False, True]
+    assert sh.resolve_titles([]) == []
+    assert sh.contains(["t:X"]) == [True]
