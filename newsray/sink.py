@@ -22,10 +22,36 @@ import json
 import os
 
 import pyarrow as pa
+import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from .pipeline import articles_to_documents, day_grouped
 from .sites import SITES
+
+try:  # the north_rule names Lance tables; pylance is not installed in this
+    # sandbox (and installs are disallowed), so the backend is probed at
+    # import and the writer degrades to parquet with the IDENTICAL Arrow
+    # schema — a Lance wheel makes it a drop-in with no caller changes.
+    import lance  # type: ignore
+except ImportError:  # pragma: no cover - sandbox has no lance wheel
+    lance = None
+
+DOCUMENTS_BACKEND = "lance" if lance is not None else "parquet"
+
+
+def _write_part(docs: pa.Table, pdir: str) -> str:
+    """One partition of the documents table, atomically, on the active
+    backend. Lance writes a versioned dataset directory (its manifest commit
+    is the atomicity boundary); parquet writes tmp-then-rename."""
+    if lance is not None:
+        path = os.path.join(pdir, "part-0.lance")
+        lance.write_dataset(docs, path, mode="overwrite")
+        return path
+    path = os.path.join(pdir, "part-0.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(docs, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def _day_key(date_group: str) -> str:
@@ -61,11 +87,7 @@ def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
         docs = articles_to_documents(part)
         pdir = os.path.join(out_dir, f"site={site}", f"day={day}")
         os.makedirs(pdir, exist_ok=True)
-        path = os.path.join(pdir, "part-0.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(docs, tmp)
-        os.replace(tmp, path)
-        written.append(path)
+        written.append(_write_part(docs, pdir))
     # manifest of completed partitions (the resume skip-list)
     manifest = os.path.join(out_dir, "_manifest.json")
     tmp = manifest + ".tmp"
@@ -97,7 +119,33 @@ def write_documents_ds(arts_ds, out_dir: str) -> None:
 
 
 def read_documents(out_dir: str) -> pa.Table:
-    return pq.read_table(out_dir)
+    """Read back a partitioned documents export on whichever backend wrote
+    it (mixed trees read too — a resume after a backend swap still works)."""
+    tables = []
+    lance_parts = []
+    for root, dirs, files in os.walk(out_dir):
+        for d in list(dirs):
+            if d.endswith(".lance"):
+                lance_parts.append(os.path.join(root, d))
+                dirs.remove(d)
+    if not lance_parts:
+        # pure-parquet tree: plain hive read (keeps site/day partition cols)
+        return pq.read_table(out_dir)
+    if lance is None:  # pragma: no cover - needs a lance wheel
+        raise RuntimeError("lance-written export but no lance backend")
+    for p in sorted(lance_parts):
+        tables.append(lance.dataset(p).to_table())
+    pq_files = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(out_dir)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    if pq_files:
+        tables.append(pads.dataset(sorted(pq_files)).to_table())
+    if not tables:
+        return pq.read_table(out_dir)  # raises the standard empty-dir error
+    return pa.concat_tables(tables, promote_options="default")
 
 
 def day_grouped_export(arts: pa.Table, out_dir: str) -> dict[str, str]:

@@ -29,7 +29,11 @@ def test_partitioned_documents_roundtrip(arts):
     with tempfile.TemporaryDirectory() as d:
         out = os.path.join(d, "docs")
         written = write_documents(arts, out)
-        assert written and all(p.endswith(".parquet") for p in written)
+        # backend-agnostic: lance when a wheel is present, parquet otherwise
+        from newsray.sink import DOCUMENTS_BACKEND
+
+        ext = ".lance" if DOCUMENTS_BACKEND == "lance" else ".parquet"
+        assert written and all(p.endswith(ext) for p in written)
         # hive-partitioned by site/day + completion manifest
         assert any("site=nate" in p for p in written)
         manifest = json.load(open(os.path.join(out, "_manifest.json")))
