@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "knn_brute_cosine",
     "doc_quality",
     "media_features",
+    "corpus_clean",
 ]
 
 

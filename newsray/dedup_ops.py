@@ -135,25 +135,24 @@ def _jaccard_pairs_df(ids: np.ndarray, shs: list[set[int]], thresh: float) -> pd
 from .golden import golden_sql
 
 
-@register("dedup_minhash_lsh", sql=golden_sql("dedup_minhash_lsh"))
-def dedup_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup pairs, fully shuffled-not-broadcast (no
-    O(corpus) object is ever ray.put):
+def minhash_pairs_ds(ds):
+    """MinHash+LSH near-dup pairs over ANY (doc_id, text) Dataset, fully
+    shuffled-not-broadcast (no O(corpus) object is ever ray.put):
 
     1. per-batch shingle/minhash, explode to (band, band_hash, doc) rows —
        signatures only, text never rides this shuffle;
     2. ONE groupby co-locates candidate buckets → raw candidate PAIRS;
-    3. the pair members RE-JOIN `documents` by doc_id (bucketed hash join)
+    3. the pair members RE-JOIN the input by doc_id (bucketed hash join)
        to pick up their texts;
     4. pairs co-locate by pair key; exact Jaccard verifies each pair
        (shingles computed once per distinct doc inside the bucket).
 
-    Returns verified pairs (doc_a < doc_b, jaccard ≥ 0.5); hash-diffed
-    against a sequential brute-force golden oracle (golden.py)."""
+    Returns verified pairs (doc_a < doc_b, jaccard ≥ 0.5). Shared by
+    `dedup_minhash_lsh` (whole corpus) and `cleanse.corpus_clean` (the
+    post-filter survivor set)."""
     from .tabular import n_buckets
 
     a, b = _perm_params()
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
     B = n_buckets()
 
     N_PARTS = 64  # coarse partitions; each holds many LSH buckets
@@ -280,6 +279,14 @@ def dedup_minhash_lsh(sf_dir: str):
         )
 
     return joined.groupby("pb").map_groups(verify_pairs, batch_format="pandas")
+
+
+@register("dedup_minhash_lsh", sql=golden_sql("dedup_minhash_lsh"))
+def dedup_minhash_lsh(sf_dir: str):
+    """Verified MinHash/LSH near-dup pairs over the whole documents table;
+    hash-diffed against a sequential brute-force golden oracle (golden.py).
+    See `minhash_pairs_ds` for the distributed plan."""
+    return minhash_pairs_ds(read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 # ---------------------------------------------------------------------------
@@ -502,10 +509,9 @@ def dedup_embedding_cosine(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_minhash_clusters", sql=golden_sql("dedup_minhash_clusters"))
-def dedup_minhash_clusters(sf_dir: str):
-    """Connected components over the MinHash near-dup pair graph via
-    iterative min-label propagation, with the label table kept DISTRIBUTED
+def pairs_to_clusters(pairs):
+    """Connected components over a near-dup pair Dataset via iterative
+    min-label propagation, with the label table kept DISTRIBUTED
     end-to-end (no per-round driver dict — a pair graph at 100 TB does not
     fit one node):
 
@@ -525,12 +531,16 @@ def dedup_minhash_clusters(sf_dir: str):
 
     from .tabular import n_buckets
 
-    pairs = dedup_minhash_lsh(sf_dir).materialize()
+    pairs = pairs.materialize()
     if pairs.count() == 0:
-        return pd.DataFrame(
-            {"doc_id": pd.Series([], dtype="int64"),
-             "cluster_id": pd.Series([], dtype="int64"),
-             "is_keeper": pd.Series([], dtype="bool")}
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "cluster_id": pd.Series([], dtype="int64"),
+                 "is_keeper": pd.Series([], dtype="bool")}
+            )
         )
     B = n_buckets()
 
@@ -539,7 +549,18 @@ def dedup_minhash_clusters(sf_dir: str):
         nbr = pa.concat_arrays([b["doc_b"].combine_chunks(), b["doc_a"].combine_chunks()])
         return pa.Table.from_pydict({"node": node, "nbr": nbr})
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # block-count hygiene: the pair graph is tiny relative to the corpus
+    # (only near-dup members), but each propagation round unions + sorts
+    # it — with one block per upstream task the rounds accumulate hundreds
+    # of ~1-row blocks and the sorts pay ~40 ms of fixed cost PER BLOCK.
+    # Size the block count to the edge data (~50k edges/block) so the loop
+    # is O(P) blocks regardless of how fragmented the pair plan was.
+    P = max(2, min(B, int(pairs.count() // 50_000) + 2))
+    edges = (
+        pairs.map_batches(to_edges, batch_format="pyarrow")
+        .repartition(P)
+        .materialize()
+    )
 
     labels = (
         edges.groupby("node")
@@ -550,6 +571,7 @@ def dedup_minhash_clusters(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
+        .repartition(P)
         .materialize()
     )
     prev_sum = labels.sum("label")
@@ -617,6 +639,7 @@ def dedup_minhash_clusters(sf_dir: str):
             .union(labels.map_batches(label_side, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(merge_min, batch_format="pandas")
+            .repartition(P)  # keep round block count flat (see above)
             .materialize()
         )
         s = labels.sum("label")
@@ -634,3 +657,11 @@ def dedup_minhash_clusters(sf_dir: str):
         )
 
     return labels.map_batches(final, batch_format="pyarrow")
+
+
+@register("dedup_minhash_clusters", sql=golden_sql("dedup_minhash_clusters"))
+def dedup_minhash_clusters(sf_dir: str):
+    """Near-dup duplicate groups (one keeper per cluster) over the whole
+    documents table; golden-checked against a sequential union-find
+    (golden.py). See `pairs_to_clusters` for the distributed plan."""
+    return pairs_to_clusters(dedup_minhash_lsh(sf_dir))

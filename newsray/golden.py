@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = 4
+GOLDEN_VERSION = 5  # v5: + corpus_clean composite
 GOLDEN_ROOT = "/tmp/newsray_golden"
 SF_FIXED = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -436,19 +436,23 @@ def ensure_goldens(sf_dir: str = SF_FIXED) -> None:
     Called once at registry import; skips entirely when the marker matches."""
     if not os.path.isdir(sf_dir):
         return
+    # lazy import: cleanse imports golden_sql from this module at its top
+    from .cleanse import golden_corpus_clean
+
+    goldens = {**GOLDENS, "corpus_clean": golden_corpus_clean}
     marker = os.path.join(GOLDEN_ROOT, "marker.json")
     want = {"version": GOLDEN_VERSION, "sf_dir": sf_dir}
     if os.path.exists(marker):
         try:
             with open(marker) as f:
                 if json.load(f) == want and all(
-                    os.path.exists(golden_path(n)) for n in GOLDENS
+                    os.path.exists(golden_path(n)) for n in goldens
                 ):
                     return
         except (json.JSONDecodeError, OSError):
             pass
     os.makedirs(GOLDEN_ROOT, exist_ok=True)
-    for name, fn in GOLDENS.items():
+    for name, fn in goldens.items():
         tbl = fn(sf_dir)
         tmp = golden_path(name) + ".tmp"
         pq.write_table(tbl, tmp)

@@ -129,3 +129,19 @@ def test_minhash_clusters_consistent_with_pairs(harness):
     for cid, g in grp:
         assert cid == g["doc_id"].min()
         assert int(g["is_keeper"].sum()) == 1
+
+
+def test_corpus_clean_matches_sequential_golden(harness):
+    """The composite cleaning cascade (lang → quality → exact → near-dup)
+    vs its independent sequential recompute, exact at sf0.01 (the golden's
+    fixed scale — its LSH stage needs the corpus the dump was built for)."""
+    entrymod, _ = harness
+    from newsray.cleanse import VERDICTS, golden_corpus_clean
+
+    sf = "/root/testdata/sf0.01"
+    got = _to_pandas(entrymod.queries()["corpus_clean"](sf))
+    want = golden_corpus_clean(sf).to_pandas()
+    assert set(got["verdict"]).issubset(set(VERDICTS))
+    got = _normalize(got)
+    want = _normalize(want)
+    pd.testing.assert_frame_equal(got, want)
