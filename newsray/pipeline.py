@@ -786,14 +786,15 @@ class CrawlPipeline:
         ):
             retracted.update(seqs)
         self.retracted_seqs.update(retracted)
-        drop_ref = ray.put(frozenset(retracted)) if retracted else None
+        drop_ref = (
+            ray.put(pa.array(sorted(retracted), pa.int64())) if retracted else None
+        )
 
         def drop_retracted(b: pa.Table) -> pa.Table:
             if drop_ref is None or b.num_rows == 0:
                 return b
-            drops = ray.get(drop_ref)
-            keep = [s not in drops for s in b["discovered_seq"].to_pylist()]
-            return b.filter(pa.array(keep, pa.bool_()))
+            mask = pc.is_in(b["discovered_seq"], value_set=ray.get(drop_ref))
+            return b.filter(pc.invert(mask))
 
         def to_frontier(b: pa.Table) -> pa.Table:
             b = b.filter(
