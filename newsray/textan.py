@@ -160,3 +160,71 @@ def relevant_docs(sf_dir: str):
         return b.loc[keep, ["doc_id", "n_chars"]]
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+@register(
+    "doc_split_assign",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment — the split every training
+    corpus needs, reproducible across runs and engines: lexicographic
+    compare of the doc_id's md5 hex against fixed thresholds ('cc' ≈ 79.7 %
+    train, 'e6' ≈ +10.2 % val, rest test). Pure per-batch map — no shuffle,
+    no state; the same row always lands in the same split at any scale."""
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        hx = [
+            hashlib.md5(str(d).encode("utf-8")).hexdigest()
+            for d in b["doc_id"].to_pylist()
+        ]
+        split = ["train" if h < "cc" else ("val" if h < "e6" else "test") for h in hx]
+        return pa.Table.from_pydict(
+            {"doc_id": b["doc_id"], "split": pa.array(split, pa.string())}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+@register(
+    "stratified_sample_by_source",
+    sql="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 50
+    """,
+)
+def stratified_sample_by_source(sf_dir: str):
+    """Stratified sampling: exactly min(50, |group|) docs per source, chosen
+    by deterministic hash order (a seeded-uniform stand-in that any engine
+    reproduces). One groupby co-locates each stratum; the per-group work is
+    a vectorized argsort over the hash — the pattern for per-domain or
+    per-language quota sampling when balancing a training mix."""
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        hx = [hashlib.md5(str(d).encode("utf-8")).hexdigest() for d in g["doc_id"]]
+        order = np.lexsort((g["doc_id"].to_numpy(), np.array(hx)))
+        take = g.iloc[order[:50]]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(take["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(take["source"].to_numpy(), pa.string()),
+            }
+        )
+
+    return ds.groupby("source").map_groups(pick, batch_format="pandas")

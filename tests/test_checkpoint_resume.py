@@ -82,3 +82,38 @@ def test_wave_checkpoint_layout(ray_session):
                 os.path.join(w0, name)
             ), name
         assert os.path.exists(os.path.join(w0, "seen", "shard_0.json"))
+
+
+def test_crashed_wave_attempt_cleared_on_rerun(tmp_path):
+    """A wave dir on disk but NOT in the manifest is a crashed mid-write
+    attempt: the rerun's write_frontier_in must clear it so restore cannot
+    read duplicated partial parquet (ADVICE round 1)."""
+    import pyarrow as pa
+
+    from newsray import checkpoint as ckpt
+
+    root = str(tmp_path)
+    d = os.path.join(root, "wave_003")
+    os.makedirs(d)
+    leftover = os.path.join(d, "docs")
+    os.makedirs(leftover)
+    with open(os.path.join(leftover, "partial-uuid.parquet"), "w") as f:
+        f.write("garbage from a crashed attempt")
+    frontier = pa.table({"canon_url": ["http://a.test/x"]})
+    ckpt.write_frontier_in(root, 3, frontier)
+    # the crashed attempt is gone; only the fresh frontier_in exists
+    assert not os.path.exists(os.path.join(leftover, "partial-uuid.parquet"))
+    assert os.path.exists(os.path.join(d, "frontier_in.parquet"))
+
+    # but a wave recorded complete in the manifest is NEVER cleared
+    ckpt._atomic_json(
+        os.path.join(root, "manifest.json"),
+        {"completed_waves": [4], "seen_log_offsets": []},
+    )
+    d4 = os.path.join(root, "wave_004")
+    os.makedirs(d4)
+    keep = os.path.join(d4, "metrics.json")
+    with open(keep, "w") as f:
+        f.write("{}")
+    ckpt.write_frontier_in(root, 4, frontier)
+    assert os.path.exists(keep)

@@ -28,6 +28,8 @@ ORACLE_SUBSET = [
     "doc_lang_id",
     "doc_quality",
     "relevant_docs",
+    "doc_split_assign",
+    "stratified_sample_by_source",
     "dedup_exact_first",
     "media_meta",
     "knn_brute_cosine",
