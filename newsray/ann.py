@@ -141,6 +141,118 @@ def knn_lsh_cosine(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# persisted bucket-partitioned LSH index (build once, probe many)
+# ---------------------------------------------------------------------------
+
+PREFIX_BITS = 6  # partition key = top PREFIX_BITS of the signature → 64 dirs
+LSH_INDEX_ROOT = "/tmp/newsray_lsh_index"
+
+
+def build_lsh_index(sf_dir: str, out_dir: str) -> str:
+    """Materialize the 10^10-scale ANN layout: the embeddings table written
+    as a signature-prefix-PARTITIONED parquet dataset (one directory per
+    top-PREFIX_BITS bucket group, straight from the object store via
+    ``Dataset.write_parquet(partition_cols=...)``). A query then reads ONLY
+    the partitions its multiprobe set can touch — the index scan replaces
+    the corpus scan. Idempotent per (sf_dir, out_dir): a marker commits the
+    build. At real scale the same layout shards across nodes by directory;
+    here it also demonstrates resumable output (partition dirs + marker)."""
+    import json
+    import os
+
+    marker = os.path.join(out_dir, "_built.json")
+    want = {"sf_dir": sf_dir, "n_planes": N_PLANES, "prefix_bits": PREFIX_BITS}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want:
+                    return out_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+    dim = _load_query(sf_dir).shape[0]
+    planes = _planes(dim)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def sig_part(b: pa.Table) -> pa.Table:
+        m = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sigs = _signature(m, planes)
+        return b.append_column("sig", pa.array(sigs, pa.int64())).append_column(
+            "part", pa.array(sigs >> (N_PLANES - PREFIX_BITS), pa.int64())
+        )
+
+    ds.map_batches(sig_part, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["part"]
+    )
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, marker)
+    return out_dir
+
+
+@register("knn_lsh_indexed", sql=golden_sql("knn_lsh_cosine"))
+def knn_lsh_indexed(sf_dir: str):
+    """`knn_lsh_cosine` served from the PERSISTED partitioned index instead
+    of a corpus scan: the multiprobe signature set maps to its prefix
+    partitions, only those directories are read (partition pruning at the
+    read — the 10^10-scale access path round 1 stated but didn't build),
+    and candidates rank exactly. Bit-identical to the scan path, so it
+    shares `knn_lsh_cosine`'s sequential golden."""
+    import hashlib as _hl
+    import os
+
+    import ray.data as rd
+
+    q = _load_query(sf_dir)
+    planes = _planes(q.shape[0])
+    qsig = int(_signature(q[None, :], planes)[0])
+    probe = {qsig}
+    for i in range(N_PLANES):
+        probe.add(qsig ^ (1 << i))
+        for j in range(i + 1, N_PLANES):
+            probe.add(qsig ^ (1 << i) ^ (1 << j))
+
+    idx = build_lsh_index(
+        sf_dir,
+        os.path.join(LSH_INDEX_ROOT, _hl.md5(sf_dir.encode()).hexdigest()[:12]),
+    )
+    parts = sorted({s >> (N_PLANES - PREFIX_BITS) for s in probe})
+    dirs = [
+        os.path.join(d, f)
+        for p in parts
+        if os.path.isdir(d := os.path.join(idx, f"part={p}"))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    probe_arr = pa.array(sorted(probe), pa.int64())
+    qref = ray.put(q)
+
+    def score(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["sig"], value_set=probe_arr))
+        b = b.filter(pc.not_equal(b["vec_id"], pa.scalar(QUERY_VEC_ID)))
+        if b.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        qv = ray.get(qref)
+        m = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ qv, 6)
+        return pa.Table.from_pydict(
+            {"vec_id": b["vec_id"], "cos_sim": pa.array(cos, pa.float64())}
+        )
+
+    return (
+        rd.read_parquet(dirs, columns=["vec_id", "sig", "embedding"])
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .sort(["cos_sim", "vec_id"], descending=[True, False])
+        .limit(TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-flat ANN (label-seeded coarse quantizer; the other 10^10-scale path)
 # ---------------------------------------------------------------------------
 
