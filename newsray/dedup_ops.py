@@ -132,6 +132,47 @@ def _jaccard_pairs_df(ids: np.ndarray, shs: list[set[int]], thresh: float) -> pd
     )
 
 
+def _jaccard_pairs_cross_df(
+    ids_a: np.ndarray,
+    shs_a: list[set[int]],
+    ids_b: np.ndarray,
+    shs_b: list[set[int]],
+    thresh: float,
+) -> pd.DataFrame:
+    """Cross-bucket variant of `_jaccard_pairs_df`: every (a-side, b-side)
+    pair ≥ thresh, emitted as (min id, max id) — one grid cell owns each
+    unordered pair exactly once."""
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return empty
+    vocab: dict[int, int] = {}
+    for s in list(shs_a) + list(shs_b):
+        for x in s:
+            vocab.setdefault(x, len(vocab))
+    ma = np.zeros((len(ids_a), len(vocab)), dtype=np.int32)
+    for r, s in enumerate(shs_a):
+        ma[r, [vocab[x] for x in s]] = 1
+    mb = np.zeros((len(ids_b), len(vocab)), dtype=np.int32)
+    for r, s in enumerate(shs_b):
+        mb[r, [vocab[x] for x in s]] = 1
+    inter = ma @ mb.T
+    union = ma.sum(axis=1)[:, None] + mb.sum(axis=1)[None, :] - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    ii, jj = np.nonzero(jac >= thresh)
+    if len(ii) == 0:
+        return empty
+    xa, xb = ids_a[ii], ids_b[jj]
+    return pd.DataFrame(
+        {"doc_a": pd.Series(np.minimum(xa, xb), dtype="int64"),
+         "doc_b": pd.Series(np.maximum(xa, xb), dtype="int64"),
+         "jaccard": pd.Series(np.round(jac[ii, jj], 4), dtype="float64")}
+    )
+
+
 from .golden import golden_sql
 
 
@@ -398,19 +439,69 @@ def dedup_simhash(sf_dir: str):
 def ngram_jaccard_by_source(sf_dir: str):
     """Exact 3-gram Jaccard pairs within each `source` block (blocking key
     stands in for the reference's per-site scoping of fuzzy dedup, SURVEY
-    D3): one groupby co-locates a source's docs, pairwise Jaccard ≥ 0.35
-    in-group; golden-oracle value-checked. (The sf0.01 corpus genuinely
-    contains exactly ONE same-source pair at threshold 0.35 — confirmed
-    independently by the sequential brute-force golden.)"""
+    D3), semantics: every same-source pair with Jaccard ≥ 0.35.
+
+    Scale shape: a naive ``groupby(source)`` would land an ENTIRE source in
+    one pandas group — all-pairs in one task, fatal when one source is a
+    100-TB slice. Instead each doc hash-buckets by id and replicates to the
+    G grid cells that pair its bucket with every other; one groupby on
+    (source, cell_a, cell_b) co-locates two buckets at a time, so per-task
+    work is (n/G)² with G² × sources cells of parallelism (the same
+    pair-grid as `dedup_embedding_cosine`; replication factor = G).
+    Identical pair set to the per-source all-pairs — golden-oracle
+    value-checked. (The sf0.01 corpus genuinely contains exactly ONE
+    same-source pair at threshold 0.35 — confirmed independently by the
+    sequential brute-force golden.)"""
+    G = 4  # doc-bucket grid per source; replication per doc = G
     ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        shs = [_shingles(t) for t in g["text"]]
-        return _jaccard_pairs_df(ids, shs, 0.35)
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        srcs = b["source"].to_pylist()
+        out = {"source": [], "ca": [], "cb": [], "doc_id": [], "text": []}
+        for d, t, s in zip(ids, texts, srcs):
+            g = d & (G - 1)
+            for other in range(G):  # G distinct cells per doc, (g, g) once
+                ca, cb = (g, other) if g <= other else (other, g)
+                out["source"].append(s)
+                out["ca"].append(ca)
+                out["cb"].append(cb)
+                out["doc_id"].append(d)
+                out["text"].append(t)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "ca": pa.array(out["ca"], pa.int64()),
+                "cb": pa.array(out["cb"], pa.int64()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
+            }
+        )
 
-    return ds.groupby("source").map_groups(pairs, batch_format="pandas")
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ca, cb = int(g["ca"].iloc[0]), int(g["cb"].iloc[0])
+        ids = g["doc_id"].to_numpy()
+        bucket = ids & (G - 1)
+        if ca == cb:
+            sel = bucket == ca
+            return _jaccard_pairs_df(
+                ids[sel], [_shingles(t) for t in g["text"].to_numpy()[sel]], 0.35
+            )
+        sa, sb = bucket == ca, bucket == cb
+        texts = g["text"].to_numpy()
+        return _jaccard_pairs_cross_df(
+            ids[sa], [_shingles(t) for t in texts[sa]],
+            ids[sb], [_shingles(t) for t in texts[sb]],
+            0.35,
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["source", "ca", "cb"])
+        .map_groups(cell_pairs, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
