@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "knn_brute_cosine",
     "doc_quality",
+    "doc_split_assign",
+    "knn_lsh_indexed",
     "media_features",
     "corpus_clean",
 ]

@@ -294,3 +294,54 @@ def test_day_group_labels_series_equals_scalar():
         got = day_group_labels_series(ts, style).tolist()
         want = [day_group_label(t.to_pydatetime(), style) for t in ts]
         assert got == want
+
+
+def test_jaccard_grid_decomposition_equals_all_pairs():
+    """The (cell_a, cell_b) doc-bucket grid used by ngram_jaccard_by_source
+    must own every unordered pair exactly once and reproduce the brute-force
+    all-pairs result on a duplicate-heavy corpus."""
+    import numpy as np
+
+    from newsray.dedup_ops import (
+        _jaccard_pairs_cross_df,
+        _jaccard_pairs_df,
+        _shingles,
+    )
+
+    rng = np.random.default_rng(7)
+    base = [
+        " ".join(f"w{rng.integers(0, 30)}" for _ in range(25)) for _ in range(12)
+    ]
+    texts, ids = [], []
+    for i in range(40):  # heavy duplication: many texts share a base
+        t = base[i % len(base)]
+        if i % 3 == 0:
+            t = t + f" extra{i}"
+        texts.append(t)
+        ids.append(100 + i)
+    ids = np.asarray(ids, dtype=np.int64)
+    shs = [_shingles(t) for t in texts]
+
+    brute = _jaccard_pairs_df(ids, shs, 0.35)
+    want = set(zip(brute["doc_a"], brute["doc_b"], brute["jaccard"]))
+
+    G = 4
+    bucket = ids & (G - 1)
+    got = set()
+    for ca in range(G):
+        for cb in range(ca, G):
+            if ca == cb:
+                sel = np.nonzero(bucket == ca)[0]
+                df = _jaccard_pairs_df(ids[sel], [shs[i] for i in sel], 0.35)
+            else:
+                sa = np.nonzero(bucket == ca)[0]
+                sb = np.nonzero(bucket == cb)[0]
+                df = _jaccard_pairs_cross_df(
+                    ids[sa], [shs[i] for i in sa],
+                    ids[sb], [shs[i] for i in sb], 0.35,
+                )
+            cell = list(zip(df["doc_a"], df["doc_b"], df["jaccard"]))
+            assert not (set(cell) & got), "a pair was owned by two cells"
+            got.update(cell)
+    assert want, "corpus should contain near-dup pairs"
+    assert got == want
