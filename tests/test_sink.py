@@ -141,3 +141,29 @@ def test_write_documents_ds_partitioned(ray_session, tmp_path):
     n_arts = res["articles_ds"].count()
     assert back.num_rows == n_arts and n_arts > 0
     assert {"doc_id", "spans"} <= set(back.column_names)
+
+
+def test_job_entrypoint_crawl(tmp_path):
+    """`python -m newsray crawl` — the `ray job submit` surface: owns its own
+    Ray session in a fresh process, writes partitioned documents straight
+    from the object store, prints one JSON summary line."""
+    import subprocess
+    import sys
+
+    out_dir = os.path.join(str(tmp_path), "docs")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "newsray", "crawl",
+            "--out", out_dir, "--sites", "fnnews,gukje", "--num-cpus", "2",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["cmd"] == "crawl" and summary["pages_fetched"] > 0
+    back = read_documents(out_dir)
+    assert back.num_rows > 0
+    assert {"doc_id", "spans", "site", "day"} <= set(back.column_names)
