@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "knn_brute_cosine",
     "doc_quality",
+    "approx_distinct_users_daily",
     "doc_split_assign",
     "knn_lsh_indexed",
     "media_features",

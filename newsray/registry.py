@@ -30,7 +30,16 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent), then make
     sure the golden-oracle parquet dumps exist for the non-SQL-expressible
     queries (computed once per machine; see golden.py)."""
-    from . import ann, cleanse, dedup_ops, docspans, multimodal, relops, textan  # noqa: F401
+    from . import (  # noqa: F401
+        ann,
+        cleanse,
+        dedup_ops,
+        docspans,
+        multimodal,
+        relops,
+        sketch,
+        textan,
+    )
     from .golden import ensure_goldens
 
     ensure_goldens()

@@ -1,0 +1,122 @@
+"""Mergeable-sketch operators — the aggregation shape that makes 100-TB
+analytics cheap: per-batch PARTIAL sketches (tiny, fixed-size), one
+groupby to merge (associative + commutative, so partial grouping order
+never matters), estimate computed once from the merged state.
+
+First sketch: HyperLogLog (Flajolet et al. 2007) approximate distinct
+count, m = 256 registers (p = 8, ~6.5 % standard error). The hash is
+seedless blake2b, so the sketch — like the MinHash signatures — IS the
+semantics: a sequential single-process recompute (golden) must match the
+distributed result BIT-exactly, which also proves merge-order
+independence."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .golden import golden_sql
+from .registry import register
+from .tabular import read
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_HLL_ALPHA = 0.7182725932495458  # alpha_256 = 0.7213 / (1 + 1.079 / 256)
+
+
+def _hll_registers(user_ids) -> np.ndarray:
+    """Registers for one batch of values (max leading-zero rank per
+    register bucket)."""
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    for u in user_ids:
+        h = int.from_bytes(
+            hashlib.blake2b(str(int(u)).encode(), digest_size=8).digest(), "little"
+        )
+        idx = h & (HLL_M - 1)
+        w = h >> HLL_P  # remaining 56 bits
+        rank = (57 - w.bit_length()) if w else 57
+        if rank > regs[idx]:
+            regs[idx] = rank
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    e = _HLL_ALPHA * HLL_M * HLL_M / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.sum(regs == 0))
+    if e <= 2.5 * HLL_M and zeros:
+        e = HLL_M * np.log(HLL_M / zeros)  # small-range correction
+    return int(np.floor(e + 0.5))
+
+
+@register("approx_distinct_users_daily", sql=golden_sql("approx_distinct_users_daily"))
+def approx_distinct_users_daily(sf_dir: str):
+    """Approximate distinct users per day over `events`: each batch emits a
+    fixed 256-int register row per day it touches (the partial sketch —
+    bytes per batch, independent of cardinality), one small groupby merges
+    by element-wise max, the estimate falls out of the merged registers.
+    At 100 TB this is the only shape that works: the shuffle carries
+    O(days × 256) ints, never user ids. Deterministic (seedless hash,
+    order-free merge) — golden-checked bit-exactly; accuracy vs the exact
+    count is pinned in pytest (~6.5 % expected error at m=256)."""
+    ds = read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        day = b["ts"].dt.strftime("%Y-%m-%d")
+        out_day, out_regs = [], []
+        for d, g in b.groupby(day, sort=True):
+            out_day.append(str(d))
+            out_regs.append(_hll_registers(g["user_id"].to_numpy()).tolist())
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(out_day, pa.string()),
+                "regs": pa.array(out_regs, pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        regs = np.max(np.asarray(list(g["regs"]), dtype=np.int64), axis=0)
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array([str(g["day"].iloc[0])], pa.string()),
+                "approx_distinct": pa.array([_hll_estimate(regs)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def golden_approx_distinct_users_daily(sf_dir: str) -> pa.Table:
+    """Sequential recompute: one pass, one dict of day → registers — no Ray,
+    no partials, no merge — must equal the distributed merge bit-exactly."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    days = [ts.strftime("%Y-%m-%d") for ts in t["ts"].to_pylist()]
+    uids = t["user_id"].to_pylist()
+    regs: dict[str, np.ndarray] = {}
+    for d, u in zip(days, uids):
+        r = regs.setdefault(d, np.zeros(HLL_M, dtype=np.int64))
+        h = int.from_bytes(
+            hashlib.blake2b(str(int(u)).encode(), digest_size=8).digest(), "little"
+        )
+        idx = h & (HLL_M - 1)
+        w = h >> HLL_P
+        rank = (57 - w.bit_length()) if w else 57
+        if rank > r[idx]:
+            r[idx] = rank
+    out_days = sorted(regs)
+    return pa.table(
+        {
+            "day": pa.array(out_days, pa.string()),
+            "approx_distinct": pa.array(
+                [_hll_estimate(regs[d]) for d in out_days], pa.int64()
+            ),
+        }
+    )

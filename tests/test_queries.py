@@ -147,3 +147,18 @@ def test_corpus_clean_matches_sequential_golden(harness):
     got = _normalize(got)
     want = _normalize(want)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_hll_sketch_accuracy_vs_exact(harness):
+    """The HLL estimate must stay within sketch tolerance of the exact
+    per-day distinct count (m=256 → ~6.5 % expected std error)."""
+    entrymod, con = harness
+    got = _to_pandas(entrymod.queries()["approx_distinct_users_daily"](SF))
+    exact = con.execute(
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        "COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).df()
+    m = got.merge(exact, on="day")
+    assert len(m) == len(got) and len(m) > 0
+    rel = (m["approx_distinct"] - m["n"]).abs() / m["n"]
+    assert rel.max() < 0.2, rel.describe()
