@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "knn_brute_cosine",
     "doc_quality",
     "approx_distinct_users_daily",
+    "approx_value_quantiles_daily",
     "doc_split_assign",
     "knn_lsh_indexed",
     "media_features",

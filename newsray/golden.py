@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = 6  # v5: + corpus_clean composite; v6: + HLL sketch
+GOLDEN_VERSION = 7  # v5: + corpus_clean; v6: + HLL; v7: + histogram quantiles
 GOLDEN_ROOT = "/tmp/newsray_golden"
 SF_FIXED = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -438,12 +438,16 @@ def ensure_goldens(sf_dir: str = SF_FIXED) -> None:
         return
     # lazy imports: these modules import golden_sql from this module at top
     from .cleanse import golden_corpus_clean
-    from .sketch import golden_approx_distinct_users_daily
+    from .sketch import (
+        golden_approx_distinct_users_daily,
+        golden_approx_value_quantiles_daily,
+    )
 
     goldens = {
         **GOLDENS,
         "corpus_clean": golden_corpus_clean,
         "approx_distinct_users_daily": golden_approx_distinct_users_daily,
+        "approx_value_quantiles_daily": golden_approx_value_quantiles_daily,
     }
     marker = os.path.join(GOLDEN_ROOT, "marker.json")
     want = {"version": GOLDEN_VERSION, "sf_dir": sf_dir}

@@ -120,3 +120,97 @@ def golden_approx_distinct_users_daily(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram quantiles (exact-mergeable by summation)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 2048
+HIST_WIDTH = 0.5  # covers [0, 1024); events.value spans [0, ~560]
+_QS = ((50, 0.50), (95, 0.95), (99, 0.99))
+
+
+def _hist_counts(values: np.ndarray) -> np.ndarray:
+    idx = np.minimum((values / HIST_WIDTH).astype(np.int64), HIST_BINS - 1)
+    idx = np.maximum(idx, 0)
+    return np.bincount(idx, minlength=HIST_BINS).astype(np.int64)
+
+
+def _hist_quantile(counts: np.ndarray, q: float) -> float:
+    """Deterministic convention: midpoint of the first bin whose cumulative
+    count reaches ceil(q * n)."""
+    n = int(counts.sum())
+    target = max(1, int(np.ceil(q * n)))
+    b = int(np.searchsorted(np.cumsum(counts), target))
+    return float(np.round(b * HIST_WIDTH + HIST_WIDTH / 2.0, 4))
+
+
+@register(
+    "approx_value_quantiles_daily", sql=golden_sql("approx_value_quantiles_daily")
+)
+def approx_value_quantiles_daily(sf_dir: str):
+    """Approximate per-day quantiles (p50/p95/p99) of `events.value` via a
+    fixed-bin histogram sketch: each batch emits one 2048-int count vector
+    per day it touches; the merge is element-wise SUM — exactly mergeable,
+    so unlike streaming t-digests the result is bit-identical under any
+    partial grouping. The estimate is within half a bin width (0.25) of the
+    NEAREST-RANK quantile (the ceil(q·n) order statistic); interpolated
+    definitions differ additionally by order-statistic spacing at small n,
+    which is a property of the data, not the sketch. The distributed shuffle
+    carries O(days × 2048) ints, never the values — with HLL above, the
+    two shapes (max-merge, sum-merge) cover most sketch aggregation.
+    Golden-checked bit-exactly against a one-pass sequential recompute."""
+    ds = read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        day = b["ts"].dt.strftime("%Y-%m-%d")
+        out_day, out_counts = [], []
+        for d, g in b.groupby(day, sort=True):
+            out_day.append(str(d))
+            out_counts.append(_hist_counts(g["value"].to_numpy()).tolist())
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(out_day, pa.string()),
+                "counts": pa.array(out_counts, pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        counts = np.sum(np.asarray(list(g["counts"]), dtype=np.int64), axis=0)
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array([str(g["day"].iloc[0])], pa.string()),
+                **{
+                    f"p{lbl}": pa.array([_hist_quantile(counts, q)], pa.float64())
+                    for lbl, q in _QS
+                },
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def golden_approx_value_quantiles_daily(sf_dir: str) -> pa.Table:
+    """One-pass sequential recompute of the histogram cascade."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    days = [ts.strftime("%Y-%m-%d") for ts in t["ts"].to_pylist()]
+    vals = np.asarray(t["value"].to_pylist(), dtype=np.float64)
+    counts: dict[str, np.ndarray] = {}
+    for d, v in zip(days, vals):
+        c = counts.setdefault(d, np.zeros(HIST_BINS, dtype=np.int64))
+        idx = min(max(int(v / HIST_WIDTH), 0), HIST_BINS - 1)
+        c[idx] += 1
+    out_days = sorted(counts)
+    cols = {"day": pa.array(out_days, pa.string())}
+    for lbl, q in _QS:
+        cols[f"p{lbl}"] = pa.array(
+            [_hist_quantile(counts[d], q) for d in out_days], pa.float64()
+        )
+    return pa.table(cols)

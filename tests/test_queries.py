@@ -162,3 +162,26 @@ def test_hll_sketch_accuracy_vs_exact(harness):
     assert len(m) == len(got) and len(m) > 0
     rel = (m["approx_distinct"] - m["n"]).abs() / m["n"]
     assert rel.max() < 0.2, rel.describe()
+
+
+def test_histogram_quantile_sketch_accuracy(harness):
+    """The histogram quantile estimate must sit within half a bin width of
+    the nearest-rank order statistic it approximates."""
+    import math
+
+    import numpy as np
+
+    entrymod, con = harness
+    from newsray.sketch import HIST_WIDTH, _QS
+
+    got = _to_pandas(entrymod.queries()["approx_value_quantiles_daily"](SF))
+    ev = con.execute(
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM events"
+    ).df()
+    assert len(got) == ev["day"].nunique() > 0
+    for _, row in got.iterrows():
+        vals = np.sort(ev.loc[ev["day"] == row["day"], "value"].to_numpy())
+        for lbl, q in _QS:
+            want = vals[max(1, math.ceil(q * len(vals))) - 1]
+            assert abs(row[f"p{lbl}"] - want) <= HIST_WIDTH / 2 + 1e-9, (
+                row["day"], lbl, row[f"p{lbl}"], want)
