@@ -239,22 +239,29 @@ def revenue_by_priority(sf_dir: str):
                 ),
                 "side": pa.array(["o"] * b.num_rows),
                 "o_orderpriority": b["o_orderpriority"],
-                "rev": pa.nulls(b.num_rows, pa.float64()),
+                "rev_sum": pa.nulls(b.num_rows, pa.float64()),
+                "n_rows": pa.nulls(b.num_rows, pa.int64()),
             }
         )
 
     def prep_items(b: pa.Table) -> pa.Table:
+        # partial aggregate BELOW the exchange: duplicate orderkeys combine
+        # inside the batch (TPC-H averages ~4 items/order), so the shuffle
+        # carries (key, rev_sum, n_rows) — a fraction of the raw rows
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.Table.from_pydict({"key": b["l_orderkey"], "rev": rev})
+        agg = t.group_by("key").aggregate([("rev", "sum"), ("rev", "count")])
         return pa.Table.from_pydict(
             {
-                "key": b["l_orderkey"],
+                "key": agg["key"],
                 "bucket": pc.cast(
-                    pc.bit_wise_and(b["l_orderkey"], pa.scalar(N_JOIN_BUCKETS - 1)),
+                    pc.bit_wise_and(agg["key"], pa.scalar(N_JOIN_BUCKETS - 1)),
                     pa.int64(),
                 ),
-                "side": pa.array(["l"] * b.num_rows),
-                "o_orderpriority": pa.nulls(b.num_rows, pa.string()),
-                "rev": rev,
+                "side": pa.array(["l"] * agg.num_rows),
+                "o_orderpriority": pa.nulls(agg.num_rows, pa.string()),
+                "rev_sum": agg["rev_sum"],
+                "n_rows": pc.cast(agg["rev_count"], pa.int64()),
             }
         )
 
@@ -264,10 +271,10 @@ def revenue_by_priority(sf_dir: str):
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["side"] == "o"][["key", "o_orderpriority"]]
-        l = g[g["side"] == "l"][["key", "rev"]]
+        l = g[g["side"] == "l"][["key", "rev_sum", "n_rows"]]
         m = l.merge(o, on="key", how="inner")
         agg = m.groupby("o_orderpriority", as_index=False).agg(
-            partial_rev=("rev", "sum"), partial_n=("rev", "size")
+            partial_rev=("rev_sum", "sum"), partial_n=("n_rows", "sum")
         )
         return agg
 
