@@ -557,3 +557,98 @@ def top10_customers_by_revenue(sf_dir: str):
         .sort(["revenue", "c_name"], descending=[True, False])
         .limit(10)
     )
+
+
+RANGE_W_US = 6 * 3600 * 1_000_000  # 6-hour interval, in timestamp micros
+
+
+@register(
+    "clicks_near_purchase",
+    sql="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 6 HOUR
+    """,
+)
+def clicks_near_purchase(sf_dir: str):
+    """RANGE (interval) join — the operator Ray Data lacks natively: every
+    (click, purchase) pair of the same user with the click inside the 6 h
+    window before the purchase.
+
+    Distributed shape: bin both sides by floor(ts / W) where W IS the
+    window. A qualifying click can only sit in the purchase's own bin or
+    the one before, so purchases replicate to (bin, bin-1) — a fixed 2×
+    replication of the SMALLER side, never a cross product — and ONE
+    groupby on (bin, user-bucket) co-locates every candidate pair; the
+    exact interval predicate evaluates vectorized inside the group. Each
+    qualifying pair materializes in exactly one group (the click's bin), so
+    no dedup pass is needed. Partitioning assumption: time bins × user
+    hash spread load; a hot (bin, user) pair would be salted further."""
+    from .tabular import n_buckets
+
+    B = n_buckets()
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        is_c = pc.equal(b["event_type"], "click")
+        is_p = pc.equal(b["event_type"], "purchase")
+        keep = b.filter(pc.or_(is_c, is_p))
+        ts = pc.cast(keep["ts"], pa.int64())
+        bin0 = pc.cast(pc.divide(ts, pa.scalar(RANGE_W_US)), pa.int64())
+        side = pc.if_else(
+            pc.equal(keep["event_type"], "click"), pa.scalar("c"), pa.scalar("p")
+        )
+        base = pa.Table.from_pydict(
+            {
+                "bin": bin0,
+                "ubucket": pc.cast(
+                    pc.bit_wise_and(keep["user_id"], pa.scalar(B - 1)), pa.int64()
+                ),
+                "side": side,
+                "event_id": keep["event_id"],
+                "user_id": keep["user_id"],
+                "ts_us": ts,
+            }
+        )
+        # purchases also visit the PREVIOUS bin (their window can reach into it)
+        p_rows = base.filter(pc.equal(base["side"], "p"))
+        replica = p_rows.set_column(
+            0, "bin", pc.subtract(p_rows["bin"], pa.scalar(1))
+        )
+        return pa.concat_tables([base, replica])
+
+    def join_bin(g: pd.DataFrame) -> pd.DataFrame:
+        bin_no = int(g["bin"].iloc[0])
+        c = g[g["side"] == "c"]
+        # a click only ever lives in its own bin — replicas are purchases
+        c = c[(c["ts_us"] // RANGE_W_US) == bin_no]
+        p = g[g["side"] == "p"]
+        if len(c) == 0 or len(p) == 0:
+            return pd.DataFrame(
+                {"click_id": pd.Series([], dtype="int64"),
+                 "purchase_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64")}
+            )
+        m = c.merge(p, on="user_id", suffixes=("_c", "_p"))
+        ok = (m["ts_us_c"] <= m["ts_us_p"]) & (m["ts_us_c"] >= m["ts_us_p"] - RANGE_W_US)
+        m = m[ok]
+        return pd.DataFrame(
+            {
+                "click_id": m["event_id_c"].astype("int64"),
+                "purchase_id": m["event_id_p"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["bin", "ubucket"])
+        .map_groups(join_bin, batch_format="pandas")
+    )

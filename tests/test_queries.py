@@ -21,6 +21,7 @@ ORACLE_SUBSET = [
     "customers_per_region",
     "revenue_by_priority",
     "last_click_before_purchase",
+    "clicks_near_purchase",
     "hourly_user_windows",
     "user_session_counts",
     "doc_token_counts",
