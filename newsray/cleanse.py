@@ -143,8 +143,9 @@ def corpus_clean(sf_dir: str):
     # near-dup over the survivors only (the spec'd ordering): verified LSH
     # pairs → components → non-keepers; then a bucketed join splits the
     # winners into kept vs near_dup
-    clusters = pairs_to_clusters(minhash_pairs_ds(winners))
-    B = n_buckets()
+    surv_bytes = winners.size_bytes()  # materialized → metadata-only
+    clusters = pairs_to_clusters(minhash_pairs_ds(winners, size_bytes=surv_bytes))
+    B = n_buckets(size_bytes=surv_bytes)
 
     def winner_side(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(

@@ -73,6 +73,20 @@ JACCARD_T = 0.5
 _MERSENNE = (1 << 31) - 1  # 31-bit universe keeps a*x+b inside int64
 
 
+def grid_buckets(n_rows: int, target_side: int, floor: int) -> int:
+    """Pair-grid bucket count for blocked all-pairs ops: smallest power of
+    two B ≥ floor with no grid cell side exceeding ~target_side rows.
+    Per-cell work is (n/B)² and replication is ×B, so B must grow with the
+    DATA (≈ n/target_side), not sit at a constant — a fixed B makes every
+    cell quadratic in corpus size on a fixed cluster. The sequential golden
+    derives B identically from the same row count so BLAS block shapes (and
+    hence float bits) match the distributed plan."""
+    b = floor
+    while n_rows / b > target_side:
+        b <<= 1
+    return b
+
+
 def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
@@ -176,7 +190,7 @@ def _jaccard_pairs_cross_df(
 from .golden import golden_sql
 
 
-def minhash_pairs_ds(ds):
+def minhash_pairs_ds(ds, size_bytes: int | None = None):
     """MinHash+LSH near-dup pairs over ANY (doc_id, text) Dataset, fully
     shuffled-not-broadcast (no O(corpus) object is ever ray.put):
 
@@ -194,9 +208,11 @@ def minhash_pairs_ds(ds):
     from .tabular import n_buckets
 
     a, b = _perm_params()
-    B = n_buckets()
+    B = n_buckets(size_bytes=size_bytes)
 
-    N_PARTS = 64  # coarse partitions; each holds many LSH buckets
+    # coarse partitions (each holds many LSH buckets); the band-row exchange
+    # is signatures-only so partitions scale off the same corpus-size hint
+    N_PARTS = n_buckets(min_b=64, size_bytes=size_bytes)
 
     def bands(batch: pa.Table) -> pa.Table:
         out = {"part": [], "band_hash": [], "doc_id": []}
@@ -327,7 +343,8 @@ def dedup_minhash_lsh(sf_dir: str):
     """Verified MinHash/LSH near-dup pairs over the whole documents table;
     hash-diffed against a sequential brute-force golden oracle (golden.py).
     See `minhash_pairs_ds` for the distributed plan."""
-    return minhash_pairs_ds(read(sf_dir, "documents", ["doc_id", "text"]))
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_pairs_ds(ds, size_bytes=ds.size_bytes())
 
 
 # ---------------------------------------------------------------------------
@@ -447,20 +464,23 @@ def ngram_jaccard_by_source(sf_dir: str):
     G grid cells that pair its bucket with every other; one groupby on
     (source, cell_a, cell_b) co-locates two buckets at a time, so per-task
     work is (n/G)² with G² × sources cells of parallelism (the same
-    pair-grid as `dedup_embedding_cosine`; replication factor = G).
-    Identical pair set to the per-source all-pairs — golden-oracle
-    value-checked. (The sf0.01 corpus genuinely contains exactly ONE
-    same-source pair at threshold 0.35 — confirmed independently by the
-    sequential brute-force golden.)"""
-    G = 4  # doc-bucket grid per source; replication per doc = G
+    pair-grid as `dedup_embedding_cosine`; replication factor = G). G is
+    derived from the corpus size (`grid_buckets`), and what rides the
+    shuffle is each doc's SHINGLE-HASH SET (list<int64>), computed once in
+    the explode — not the G×-replicated raw text. Identical pair set to the
+    per-source all-pairs — golden-oracle value-checked. (The sf0.01 corpus
+    genuinely contains exactly ONE same-source pair at threshold 0.35 —
+    confirmed independently by the sequential brute-force golden.)"""
     ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
+    G = grid_buckets(ds.count(), target_side=20_000, floor=4)
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
         texts = b["text"].to_pylist()
         srcs = b["source"].to_pylist()
-        out = {"source": [], "ca": [], "cb": [], "doc_id": [], "text": []}
+        out = {"source": [], "ca": [], "cb": [], "doc_id": [], "sh": []}
         for d, t, s in zip(ids, texts, srcs):
+            sh = sorted(_shingles(t))  # hashed once; text never ships
             g = d & (G - 1)
             for other in range(G):  # G distinct cells per doc, (g, g) once
                 ca, cb = (g, other) if g <= other else (other, g)
@@ -468,14 +488,14 @@ def ngram_jaccard_by_source(sf_dir: str):
                 out["ca"].append(ca)
                 out["cb"].append(cb)
                 out["doc_id"].append(d)
-                out["text"].append(t)
+                out["sh"].append(sh)
         return pa.Table.from_pydict(
             {
                 "source": pa.array(out["source"], pa.string()),
                 "ca": pa.array(out["ca"], pa.int64()),
                 "cb": pa.array(out["cb"], pa.int64()),
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "text": pa.array(out["text"], pa.string()),
+                "sh": pa.array(out["sh"], pa.list_(pa.int64())),
             }
         )
 
@@ -484,16 +504,14 @@ def ngram_jaccard_by_source(sf_dir: str):
         ca, cb = int(g["ca"].iloc[0]), int(g["cb"].iloc[0])
         ids = g["doc_id"].to_numpy()
         bucket = ids & (G - 1)
+        shs = [set(x) for x in g["sh"]]
         if ca == cb:
-            sel = bucket == ca
-            return _jaccard_pairs_df(
-                ids[sel], [_shingles(t) for t in g["text"].to_numpy()[sel]], 0.35
-            )
-        sa, sb = bucket == ca, bucket == cb
-        texts = g["text"].to_numpy()
+            sel = np.nonzero(bucket == ca)[0]
+            return _jaccard_pairs_df(ids[sel], [shs[i] for i in sel], 0.35)
+        sa, sb = np.nonzero(bucket == ca)[0], np.nonzero(bucket == cb)[0]
         return _jaccard_pairs_cross_df(
-            ids[sa], [_shingles(t) for t in texts[sa]],
-            ids[sb], [_shingles(t) for t in texts[sb]],
+            ids[sa], [shs[i] for i in sa],
+            ids[sb], [shs[i] for i in sb],
             0.35,
         )
 
@@ -509,17 +527,24 @@ def ngram_jaccard_by_source(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 COS_T = 0.45  # calibrated to this corpus (max off-diag cos ≈ 0.51)
-N_EMB_BUCKETS = 8  # pair-block grid; replication per vector = N_EMB_BUCKETS
 
 
-def _emb_pair_block(ids: np.ndarray, mat: np.ndarray, ga: int, gb: int):
+def emb_grid_buckets(n_vectors: int) -> int:
+    """Pair-block grid for embedding all-pairs: B grows with the corpus so
+    no cell side exceeds ~8k vectors (cell work is a (n/B)² matmul,
+    replication ×B). Shared by the pipeline and the sequential golden —
+    both derive B from the same row count, keeping BLAS shapes identical."""
+    return grid_buckets(n_vectors, target_side=8192, floor=8)
+
+
+def _emb_pair_block(ids: np.ndarray, mat: np.ndarray, ga: int, gb: int, B: int):
     """Exact cosine pairs ≥ COS_T between bucket ga and bucket gb of an
     id-bucketed corpus slice (ids sorted ascending, rows L2-normalized).
     One (ga, gb) grid cell owns each pair exactly once: within-bucket cells
     emit upper-triangle pairs; cross cells emit every (a-side, b-side) hit
     ordered (min, max). Shared by the distributed path and the sequential
     golden so the BLAS shapes — hence the float64 bits — are identical."""
-    bucket = ids & (N_EMB_BUCKETS - 1)
+    bucket = ids & (B - 1)
     if ga == gb:
         sel = np.nonzero(bucket == ga)[0]
         sids, sm = ids[sel], mat[sel]
@@ -545,13 +570,13 @@ def dedup_embedding_cosine(sf_dir: str):
     matmuls its two (sorted, normalized) sides and keeps cos ≥ COS_T. Every
     pair lands in exactly one cell, so no post-distinct is needed. Total
     compute stays the exact n²/2; replication is ×B and per-cell work is
-    (n/B)², so B scales ~√cluster (the all-pairs exchange analogue of the
-    bucketed hash join). Value-checked against a sequential golden that
-    walks the same grid with the same BLAS shapes (golden.py); the
-    sub-quadratic approximate path for high-similarity regimes is the LSH
-    module in ann.py."""
-    B = N_EMB_BUCKETS
+    (n/B)², with B derived from the corpus row count (`emb_grid_buckets` —
+    the all-pairs exchange analogue of the bucketed hash join).
+    Value-checked against a sequential golden that walks the same grid with
+    the same BLAS shapes (golden.py); the sub-quadratic approximate path
+    for high-similarity regimes is the LSH module in ann.py."""
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    B = emb_grid_buckets(ds.count())
 
     def explode(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
@@ -578,7 +603,7 @@ def dedup_embedding_cosine(sf_dir: str):
         ids = g["vec_id"].to_numpy().astype(np.int64)
         mat = np.asarray(list(g["embedding"]), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        a, b_, c = _emb_pair_block(ids, mat, ga, gb)
+        a, b_, c = _emb_pair_block(ids, mat, ga, gb, B)
         return pd.DataFrame(
             {
                 "vec_a": pd.Series(a, dtype="int64"),
@@ -613,7 +638,11 @@ def pairs_to_clusters(pairs):
       result back against the current labels (by node) — three shuffles over
       edge-sized data, zero broadcasts;
     * labels only ever DECREASE, so convergence is detected by comparing
-      the scalar sum(label) between rounds (the only value the driver sees).
+      the scalar sum(label) between rounds (the only value the driver sees);
+      the loop runs UNTIL stable (diameter ≤ node count guarantees
+      termination) and raises loudly if the node-count bound is ever
+      exceeded — a silent round cap would hand back unconverged labels on
+      long near-dup chains.
 
     Converges in O(component diameter) rounds — duplicate clusters are
     near-cliques. Returns (doc_id, cluster_id = component min, is_keeper);
@@ -633,7 +662,7 @@ def pairs_to_clusters(pairs):
                  "is_keeper": pd.Series([], dtype="bool")}
             )
         )
-    B = n_buckets()
+    B = n_buckets(size_bytes=pairs.size_bytes() * 2)
 
     def to_edges(b: pa.Table) -> pa.Table:
         node = pa.concat_arrays([b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()])
@@ -716,7 +745,15 @@ def pairs_to_clusters(pairs):
             {"node": lab["k"].astype("int64"), "label": lab["label"].astype("int64")}
         )
 
-    for _ in range(32):  # diameter bound; clusters here are near-cliques
+    # diameter ≤ node count bounds the rounds; hitting it means a bug, so
+    # fail loudly rather than return silently-unconverged cluster labels
+    max_rounds = int(labels.count()) + 2
+    for rnd in range(max_rounds + 1):
+        if rnd == max_rounds:
+            raise RuntimeError(
+                f"pairs_to_clusters: min-label propagation did not converge "
+                f"within the node-count bound ({max_rounds} rounds)"
+            )
         nbr_min = (
             edges.map_batches(edge_side, batch_format="pyarrow")
             .union(labels.map_batches(label_side, batch_format="pyarrow"))

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = 7  # v5: + corpus_clean; v6: + HLL; v7: + histogram quantiles
+GOLDEN_VERSION = 8  # v7: + histogram quantiles; v8: data-derived grid B/G
 GOLDEN_ROOT = "/tmp/newsray_golden"
 SF_FIXED = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -202,7 +202,7 @@ def golden_ngram_jaccard_by_source(sf_dir: str) -> pa.Table:
 
 
 def golden_dedup_embedding_cosine(sf_dir: str) -> pa.Table:
-    from .dedup_ops import N_EMB_BUCKETS, _emb_pair_block
+    from .dedup_ops import _emb_pair_block, emb_grid_buckets
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
@@ -212,10 +212,11 @@ def golden_dedup_embedding_cosine(sf_dir: str) -> pa.Table:
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     out_a, out_b, out_c = [], [], []
     # walk the same (ga, gb) pair-block grid the distributed path groups by
-    # (shared kernel → identical BLAS shapes → bit-identical doubles)
-    for ga in range(N_EMB_BUCKETS):
-        for gb in range(ga, N_EMB_BUCKETS):
-            a, b, c = _emb_pair_block(ids, mat, ga, gb)
+    # (same data-derived B, shared kernel → identical BLAS shapes → doubles)
+    B = emb_grid_buckets(len(ids))
+    for ga in range(B):
+        for gb in range(ga, B):
+            a, b, c = _emb_pair_block(ids, mat, ga, gb, B)
             out_a.extend(int(x) for x in a)
             out_b.extend(int(x) for x in b)
             out_c.extend(float(x) for x in np.round(c, 4))

@@ -32,19 +32,26 @@ from .tabular import read, round_col
     "pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                          AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)                          AS avg_qty,
-           COUNT(*)                                           AS count_order
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0      AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100)
+             / 100.0                                                 AS sum_disc_price,
+           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                 / (100.0 * COUNT(*)), 4)                            AS avg_qty,
+           COUNT(*)                                                  AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def pricing_summary(sf_dir: str):
-    """Grouped aggregate with vectorized pre-computation (disc price) in a
-    pyarrow map_batches; the groupby shuffles only the 6-key partials."""
-    from ray.data.aggregate import Count, Sum
+    """Grouped aggregate with per-batch partial combine: each batch folds to
+    ≤6 key rows of EXACT int64 partials (quantity/price are 2-dp-exact in
+    float64, so ×100-rounded ints sum order-independently — float partial
+    sums would make the output hash depend on Ray's block splits), then a
+    tiny 6-key groupby merges them. The oracle SQL casts to BIGINT the same
+    way, so both sides divide identical integers into identical doubles."""
+    from ray.data.aggregate import Sum
 
     ds = read(
         sf_dir,
@@ -52,29 +59,62 @@ def pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def add_disc(b: pa.Table) -> pa.Table:
-        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("disc_price", disc)
+    def partial(b: pa.Table) -> pa.Table:
+        qty_c = pc.cast(pc.round(pc.multiply(b["l_quantity"], pa.scalar(100.0))), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0))), pa.int64())
+        disc_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        t = pa.Table.from_pydict(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "disc_e4": disc_e4,
+            }
+        )
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_e4", "sum"), ("qty_c", "count")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": agg["l_returnflag"],
+                "l_linestatus": agg["l_linestatus"],
+                "p_qty": agg["qty_c_sum"],
+                "p_price": agg["price_c_sum"],
+                "p_disc": agg["disc_e4_sum"],
+                "p_n": pc.cast(agg["qty_c_count"], pa.int64()),
+            }
+        )
 
     out = (
-        ds.map_batches(add_disc, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
+            Sum("p_qty", alias_name="qty_c"),
+            Sum("p_price", alias_name="price_c"),
+            Sum("p_disc", alias_name="disc_e4"),
+            Sum("p_n", alias_name="count_order"),
         )
     )
 
     def final(b: pa.Table) -> pa.Table:
-        avg = pc.divide(b["sum_qty"], pc.cast(b["count_order"], pa.float64()))
-        b = b.append_column("avg_qty", avg)
-        for col, d in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2), ("avg_qty", 4)):
-            b = round_col(b, col, d)
-        return b.select(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-             "sum_disc_price", "avg_qty", "count_order"]
+        qty = b["qty_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = b["price_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        disc = b["disc_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["count_order"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = qty / (100.0 * n)
+        avg = np.floor(np.abs(avg) * 1e4 + 0.5) / 1e4 * np.sign(avg)
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pa.array(qty / 100.0, pa.float64()),
+                "sum_base_price": pa.array(price / 100.0, pa.float64()),
+                "sum_disc_price": pa.array(((disc + 50) // 100) / 100.0, pa.float64()),
+                "avg_qty": pa.array(avg, pa.float64()),
+                "count_order": pa.array(n, pa.int64()),
+            }
         )
 
     return out.map_batches(final, batch_format="pyarrow")
@@ -208,7 +248,9 @@ def customers_per_region(sf_dir: str):
     "revenue_by_priority",
     sql="""
     SELECT o_orderpriority,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100)
+             / 100.0 AS revenue,
            COUNT(*) AS n_items
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
@@ -219,15 +261,22 @@ def revenue_by_priority(sf_dir: str):
     bucket by hash(orderkey) % B, co-locate via ONE groupby, join + partially
     aggregate inside each bucket, then a tiny final groupby. This is the
     portable Ray Data large-join pattern (ray_guide 'Joins'); B scales with
-    the cluster (tabular.n_buckets), hot keys would be salted into
-    sub-buckets."""
-    from ray.data.aggregate import Count, Sum
+    the cluster AND the data (tabular.n_buckets), hot keys would be salted
+    into sub-buckets.
+
+    Determinism: revenue is accumulated in EXACT int64 units of 10^-4 dollars
+    (extendedprice is cents-exact in float64, discount a 2-dp fraction, so
+    round(price*100) * (100 - round(disc*100)) is an exact integer) — the sum
+    is order-independent under any Ray block split, unlike float64 partial
+    sums whose last ulp depends on summation order and can flip a cent across
+    ROUND's half-boundary. The oracle SQL casts to BIGINT identically."""
+    from ray.data.aggregate import Sum
 
     from .tabular import n_buckets
 
-    N_JOIN_BUCKETS = n_buckets()
     orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     lineitem = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    N_JOIN_BUCKETS = n_buckets(size_bytes=orders.size_bytes() + lineitem.size_bytes())
 
     def prep_orders(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -239,7 +288,7 @@ def revenue_by_priority(sf_dir: str):
                 ),
                 "side": pa.array(["o"] * b.num_rows),
                 "o_orderpriority": b["o_orderpriority"],
-                "rev_sum": pa.nulls(b.num_rows, pa.float64()),
+                "rev_e4": pa.nulls(b.num_rows, pa.int64()),
                 "n_rows": pa.nulls(b.num_rows, pa.int64()),
             }
         )
@@ -247,10 +296,14 @@ def revenue_by_priority(sf_dir: str):
     def prep_items(b: pa.Table) -> pa.Table:
         # partial aggregate BELOW the exchange: duplicate orderkeys combine
         # inside the batch (TPC-H averages ~4 items/order), so the shuffle
-        # carries (key, rev_sum, n_rows) — a fraction of the raw rows
-        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        t = pa.Table.from_pydict({"key": b["l_orderkey"], "rev": rev})
-        agg = t.group_by("key").aggregate([("rev", "sum"), ("rev", "count")])
+        # carries (key, rev_e4, n_rows) — a fraction of the raw rows.
+        # rev_e4 is an exact int64 (10^-4 dollars): summation order can't
+        # change the result, so the output hash is block-split-invariant.
+        price_c = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        t = pa.Table.from_pydict({"key": b["l_orderkey"], "rev_e4": rev_e4})
+        agg = t.group_by("key").aggregate([("rev_e4", "sum"), ("rev_e4", "count")])
         return pa.Table.from_pydict(
             {
                 "key": agg["key"],
@@ -260,8 +313,8 @@ def revenue_by_priority(sf_dir: str):
                 ),
                 "side": pa.array(["l"] * agg.num_rows),
                 "o_orderpriority": pa.nulls(agg.num_rows, pa.string()),
-                "rev_sum": agg["rev_sum"],
-                "n_rows": pc.cast(agg["rev_count"], pa.int64()),
+                "rev_e4": pc.cast(agg["rev_e4_sum"], pa.int64()),
+                "n_rows": pc.cast(agg["rev_e4_count"], pa.int64()),
             }
         )
 
@@ -271,10 +324,12 @@ def revenue_by_priority(sf_dir: str):
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["side"] == "o"][["key", "o_orderpriority"]]
-        l = g[g["side"] == "l"][["key", "rev_sum", "n_rows"]]
+        l = g[g["side"] == "l"][["key", "rev_e4", "n_rows"]]
         m = l.merge(o, on="key", how="inner")
+        m["rev_e4"] = m["rev_e4"].astype("int64")
+        m["n_rows"] = m["n_rows"].astype("int64")
         agg = m.groupby("o_orderpriority", as_index=False).agg(
-            partial_rev=("rev_sum", "sum"), partial_n=("n_rows", "sum")
+            partial_rev=("rev_e4", "sum"), partial_n=("n_rows", "sum")
         )
         return agg
 
@@ -283,11 +338,25 @@ def revenue_by_priority(sf_dir: str):
         .map_groups(join_bucket, batch_format="pandas")
         .groupby("o_orderpriority")
         .aggregate(
-            Sum("partial_rev", alias_name="revenue"),
+            Sum("partial_rev", alias_name="rev_e4_total"),
             Sum("partial_n", alias_name="n_items"),
         )
     )
-    return out.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+
+    def final(b: pa.Table) -> pa.Table:
+        # exact int64 -> dollars rounded half-up to cents, identically to the
+        # oracle's ((S + 50) // 100) / 100.0 (revenue is non-negative)
+        total = b["rev_e4_total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        revenue = ((total + 50) // 100) / 100.0
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue": pa.array(revenue, pa.float64()),
+                "n_items": b["n_items"],
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
 
 
 @register(
@@ -304,11 +373,11 @@ def last_click_before_purchase(sf_dir: str):
     hash(user_id), co-locate with one groupby, and run pandas ``merge_asof``
     per bucket over ts-sorted frames (ray_guide as-of pattern). Partitioning
     assumption: a user's events fit one bucket group; B scales with the
-    cluster (tabular.n_buckets)."""
+    cluster AND the data (tabular.n_buckets)."""
     from .tabular import n_buckets
 
-    B = n_buckets()
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    B = n_buckets(size_bytes=ds.size_bytes())
 
     def prep(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_in(b["event_type"], value_set=pa.array(["purchase", "click"])))
@@ -370,7 +439,7 @@ def hourly_user_windows(sf_dir: str):
     # cluster) and a vectorized pandas aggregation inside each bucket.
     from .tabular import n_buckets
 
-    B = n_buckets()
+    B = n_buckets(size_bytes=ds.size_bytes())
 
     def add_window(b: pd.DataFrame) -> pd.DataFrame:
         us = b["ts"].astype("datetime64[us]").astype("int64")  # epoch microseconds
@@ -511,8 +580,9 @@ def top10_customers_by_revenue(sf_dir: str):
 
     from .tabular import n_buckets
 
-    B = n_buckets()
     ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    B = n_buckets(size_bytes=ds.size_bytes() + cust.size_bytes())
     agg = ds.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
     )
@@ -539,7 +609,6 @@ def top10_customers_by_revenue(sf_dir: str):
             }
         )
 
-    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
     both = agg.map_batches(tag_agg, batch_format="pyarrow").union(
         cust.map_batches(tag_cust, batch_format="pyarrow")
     )
@@ -593,8 +662,8 @@ def clicks_near_purchase(sf_dir: str):
     hash spread load; a hot (bin, user) pair would be salted further."""
     from .tabular import n_buckets
 
-    B = n_buckets()
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    B = n_buckets(size_bytes=ds.size_bytes())
 
     def prep(b: pa.Table) -> pa.Table:
         is_c = pc.equal(b["event_type"], "click")

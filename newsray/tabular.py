@@ -28,11 +28,19 @@ def round_col(batch: pa.Table, col: str, digits: int) -> pa.Table:
     return batch.set_column(i, col, pa.array(r, pa.float64()))
 
 
-def n_buckets(min_b: int = 32) -> int:
-    """Hash-join / window bucket count scaled to the cluster (power of two,
-    ≈2 buckets per CPU, floor ``min_b``): a fixed constant makes each bucket
-    group hold 1/B of the table regardless of cluster size — the B the
-    docstrings promised would scale now does."""
+#: target bytes per bucket group — each bucketed join/window loads ONE group
+#: (~input_bytes / B) into a single pandas frame, so B must grow with the
+#: DATA, not just the cluster: on a fixed-size cluster streaming 100 TB a
+#: cluster-only B would make every group a driver-sized frame in a worker.
+TARGET_GROUP_BYTES = 256 * 1024 * 1024
+
+
+def n_buckets(min_b: int = 32, size_bytes: int | None = None) -> int:
+    """Hash-join / window bucket count: power of two covering BOTH axes —
+    ≈2 buckets per cluster CPU (parallelism) AND ``size_bytes /
+    TARGET_GROUP_BYTES`` (memory: one bucket group must fit a worker heap).
+    Callers pass the pruned input's ``Dataset.size_bytes()`` estimate; with
+    no size hint the cluster floor alone applies (small/test inputs)."""
     cpu = 8.0
     try:
         import ray
@@ -42,6 +50,8 @@ def n_buckets(min_b: int = 32) -> int:
     except Exception:
         pass
     target = max(min_b, int(cpu) * 2)
+    if size_bytes:
+        target = max(target, -(-int(size_bytes) // TARGET_GROUP_BYTES))
     b = 1
     while b < target:
         b <<= 1
