@@ -64,6 +64,21 @@ def _write_obj(d: str, obj, name: str) -> None:
         obj.write_parquet(os.path.join(d, name))
 
 
+def _obj_path(d: str, name: str) -> str | None:
+    """Concrete on-disk location of a checkpointed object (single parquet
+    file for Table writes, a non-empty directory for Dataset writes), or
+    None when nothing readable was written (an empty wave)."""
+    f = os.path.join(d, f"{name}.parquet")
+    if os.path.exists(f):
+        return f
+    p = os.path.join(d, name)
+    if os.path.isdir(p) and any(
+        fn.endswith(".parquet") for fn in os.listdir(p)
+    ):
+        return p
+    return None
+
+
 def _read_obj(d: str, name: str, schema: pa.Schema | None = None) -> pa.Table:
     f = os.path.join(d, f"{name}.parquet")
     path = f if os.path.exists(f) else os.path.join(d, name)
@@ -96,18 +111,39 @@ def write_wave(
     schedulers: list,
     metrics: dict,
 ) -> None:
+    manifest = _load_manifest(root)
+    # a wave the manifest already records complete must NEVER be re-written:
+    # re-dumping deltas against already-advanced offsets would replace the
+    # wave's seen/shard files with empty deltas while completed_waves still
+    # claims the wave intact — a silently corrupted delta chain (ADVICE r2)
+    if wave in manifest.get("completed_waves", []):
+        raise ValueError(
+            f"wave {wave} is already completed in the checkpoint at {root}; "
+            "resume via checkpoint.restore (CrawlPipeline does this "
+            "automatically when checkpoint_dir is set) instead of re-running"
+        )
     d = _wave_dir(root, wave)
     os.makedirs(os.path.join(d, "seen"), exist_ok=True)
     _write_obj(d, docs, "docs")
     _write_obj(d, next_frontier, "next_frontier")
     _write_obj(d, fetch_log, "fetch_log")
 
-    manifest = _load_manifest(root)
     prev_offsets = manifest.get("seen_log_offsets", [0] * len(seen_shards))
     if len(prev_offsets) != len(seen_shards):
         raise ValueError(
             f"checkpoint at {root} tracks {len(prev_offsets)} seen shards; "
             f"pipeline has {len(seen_shards)}"
+        )
+    # a recorded offset AHEAD of the live shard log means this pipeline was
+    # never restored from the checkpoint it is writing into — dump_since
+    # would silently produce truncated/empty deltas (ADVICE r2)
+    log_lens = ray.get([s.log_len.remote() for s in seen_shards])
+    ahead = [i for i in range(len(seen_shards)) if prev_offsets[i] > log_lens[i]]
+    if ahead:
+        raise ValueError(
+            f"checkpoint at {root} records seen-log offsets ahead of the live "
+            f"shard logs (shards {ahead}): the pipeline was not restored from "
+            "this checkpoint — call checkpoint.restore first or use a fresh dir"
         )
     deltas = ray.get(
         [s.dump_since.remote(prev_offsets[i]) for i, s in enumerate(seen_shards)]
@@ -156,12 +192,36 @@ def restore(pipeline, root: str) -> bool:
             f"checkpoint key-routing version {routing!r} != {ROUTING_VERSION!r}"
         )
     last = waves[-1]
-    # accumulated docs + fetch logs from all completed waves (lineage replay),
-    # plus the per-wave seen-set DELTAS replayed in wave order
+    # accumulated docs + fetch logs from all completed waves (lineage
+    # replay) as DATASETS over the checkpoint parquet — a resumed run must
+    # not load the whole accumulated corpus onto the driver (VERDICT r2 #4);
+    # per-wave seen-set DELTAS replay in wave order
+    from .pipeline import WAVE_SCHEMA
+
     for w in waves:
         d = _wave_dir(root, w)
-        pipeline.doc_tables.append(_read_obj(d, "docs"))
-        pipeline.fetch_logs.append(_read_obj(d, "fetch_log"))
+        docs_path = _obj_path(d, "docs")
+        if docs_path is None:
+            pipeline.doc_tables.append(
+                pa.Table.from_pydict(
+                    {n: [] for n in WAVE_SCHEMA.names}, schema=WAVE_SCHEMA
+                )
+            )
+        else:
+            pipeline.doc_tables.append(ray.data.read_parquet(docs_path))
+            # finalize_streaming re-pushes these waves' fuzzy projections
+            # with a distributed pruned read over the same files
+            pipeline._restored_doc_paths.append(docs_path)
+        flog_path = _obj_path(d, "fetch_log")
+        if flog_path is None:
+            pipeline.fetch_logs.append(
+                pa.Table.from_pydict(
+                    {n: [] for n in pipeline.FLOG_W_SCHEMA.names},
+                    schema=pipeline.FLOG_W_SCHEMA,
+                )
+            )
+        else:
+            pipeline.fetch_logs.append(ray.data.read_parquet(flog_path))
         with open(os.path.join(d, "metrics.json")) as f:
             pipeline.wave_metrics.append(json.load(f))
         futs = []
@@ -183,4 +243,5 @@ def restore(pipeline, root: str) -> bool:
     nxt = _read_obj(d, "next_frontier", schema=FRONTIER_SCHEMA)
     pipeline.start_wave = last + 1
     pipeline._frontier0 = nxt
+    pipeline._restored = True  # CrawlPipeline.run skips its auto-restore
     return True

@@ -469,9 +469,14 @@ def relevance_finalize(
             continue
         ts = ts[ok.to_numpy()].reset_index(drop=True)
         base = f"https://{cfg.host}/"
+        # strip BEFORE the fast-path test so an absolute URL with stray
+        # whitespace is byte-identical to absolutize()'s output (ADVICE r2)
         img_abs = [
-            "" if not v else (v if v.startswith("https://") and ".test./" not in v
-                              else absolutize(v, base))
+            "" if not v else (
+                v.strip()
+                if v.strip().startswith("https://") and ".test./" not in v
+                else absolutize(v, base)
+            )
             for v in sub["img"].to_pylist()
         ]
         if cfg.has_summary:
@@ -561,6 +566,9 @@ class PipelineConfig:
     repartition_blocks: int = 16
     checkpoint_dir: str | None = None
     seen_capacity_per_shard: int = 1 << 18
+    # per-site fuzzy projection buffers spill to sorted parquet runs past
+    # this many buffered rows (bounds actor RSS on the hot fuzzy site)
+    fuzzy_spill_rows: int = 1 << 20
     # optional CPU reservation per state actor (0 = unreserved; a nonzero
     # fraction quantizes away whole task slots at very small cluster sizes)
     actor_num_cpus: float = 0.0
@@ -585,9 +593,12 @@ class CrawlPipeline:
 
         self.metrics = MetricsActor.remote()
         self._fuzzy_sites = pa.array([s for s, c in SITES.items() if c.fuzzy_dedup])
-        self.fuzzy_buf = (
-            FuzzyTitleBuffer.remote() if len(self._fuzzy_sites) else None
-        )
+        # one buffer actor PER fuzzy site (the scan is per-site sequential;
+        # per-site actors bound RSS via spill and scan sites in parallel)
+        self.fuzzy_bufs: dict[str, "ray.actor.ActorHandle"] = {
+            s: FuzzyTitleBuffer.remote(s, spill_rows=cfg.fuzzy_spill_rows)
+            for s in self._fuzzy_sites.to_pylist()
+        }
         self.retracted_seqs: set[int] = set()
         self.wave_metrics: list[dict] = []
         self.stage_times: list[dict] = []
@@ -595,6 +606,11 @@ class CrawlPipeline:
         self.doc_tables: list[pa.Table] = []
         self.start_wave = 0
         self._frontier0: pa.Table | None = None
+        self._restored = False
+        # parquet paths of checkpoint-restored wave docs: their fuzzy
+        # projections re-push via a DISTRIBUTED pruned read in
+        # finalize_streaming (never a driver loop over wave tables)
+        self._restored_doc_paths: list[str] = []
 
     def dump_seen(self) -> tuple[set, set]:
         """(url_seen, title_seen) as (site, value) tuples — for equality
@@ -676,14 +692,15 @@ class CrawlPipeline:
 
         # -- execution A: schedule → fetch+parse → gate → URL register ------
         sched_fn = ScheduleGroup(self.schedulers)
-        fuzzy_buf, fuzzy_arr = self.fuzzy_buf, self._fuzzy_sites
+        fuzzy_bufs, fuzzy_arr = self.fuzzy_bufs, self._fuzzy_sites
 
         def push_fuzzy_proj(out: pa.Table) -> list:
-            """Side-channel the fuzzy-sites' doc (site, seq, title) rows to
-            the buffer actor so finalize's scan needs no extra doc pass.
-            Returns the pending ref (ray.get'd with the metrics RPC — counts
-            and scan input are durable before the execution barrier)."""
-            if fuzzy_buf is None or out.num_rows == 0:
+            """Side-channel each fuzzy site's doc (site, seq, title) rows to
+            that site's buffer actor so finalize's scan needs no extra doc
+            pass. Returns the pending refs (ray.get'd with the metrics RPC —
+            counts and scan input are durable before the execution
+            barrier)."""
+            if not fuzzy_bufs or out.num_rows == 0:
                 return []
             m = pc.and_(
                 pc.equal(out["rowkind"], "doc"),
@@ -691,7 +708,13 @@ class CrawlPipeline:
             )
             if not pc.any(m).as_py():
                 return []
-            return [fuzzy_buf.add.remote(out.filter(m).select(FUZZY_PROJ_COLS))]
+            proj = out.filter(m).select(FUZZY_PROJ_COLS)
+            refs = []
+            for site, buf in fuzzy_bufs.items():
+                sub = proj.filter(pc.equal(proj["site"], site))
+                if sub.num_rows:
+                    refs.append(buf.add.remote(sub))
+            return refs
 
         def fetch_parse_m(b: pa.Table) -> pa.Table:
             out = fetch_parse(b, wp, policy)
@@ -841,6 +864,13 @@ class CrawlPipeline:
         from . import checkpoint as ckpt
 
         cfg = self.cfg
+        # a re-submitted job with an existing checkpoint RESUMES (ADVICE r2:
+        # without this a rerun started at wave 0 over advanced seen-log
+        # offsets and silently corrupted the delta chain); explicit
+        # checkpoint.restore() calls set _restored so this is a no-op then
+        if cfg.checkpoint_dir and not self._restored and frontier is None:
+            ckpt.restore(self, cfg.checkpoint_dir)
+            self._restored = True
         if frontier is None:
             frontier = self._frontier0 if self._frontier0 is not None else self.seed_frontier()
         if isinstance(frontier, pa.Table):
@@ -947,32 +977,62 @@ class CrawlPipeline:
         # doc-block rewrite, one fewer execution ramp.
         self._docs_ds_final = docs_ds  # bench diagnostics
 
-        kept_ref = None
-        if self.fuzzy_buf is not None:
-            # waves restored from a checkpoint arrived as driver-side tables
-            # (their stages never ran here): push their projections into the
-            # buffer before scanning — the scan's same-seq skip makes a
-            # repeated finalize idempotent
+        kept_refs: list = []
+        if self.fuzzy_bufs:
+            # waves restored from a checkpoint never ran their stages here,
+            # so their projections aren't in the buffers yet: re-push them
+            # with a DISTRIBUTED pruned read over the checkpoint parquet
+            # (3 narrow columns, map_batches pushes straight to the site
+            # buffers — no wave table ever lands on the driver); the scan's
+            # same-seq skip makes a repeated finalize idempotent
+            if self._restored_doc_paths:
+                bufs = self.fuzzy_bufs
+
+                def push_restored(b: pa.Table) -> pa.Table:
+                    refs = []
+                    for site, buf in bufs.items():
+                        sub = b.filter(pc.equal(b["site"], site))
+                        if sub.num_rows:
+                            refs.append(buf.add.remote(sub.select(FUZZY_PROJ_COLS)))
+                    if refs:
+                        ray.get(refs)  # durable before the pass's barrier
+                    return pa.Table.from_pydict(
+                        {"n": pa.array([b.num_rows], pa.int64())}
+                    )
+
+                (
+                    ray.data.read_parquet(
+                        self._restored_doc_paths, columns=FUZZY_PROJ_COLS
+                    )
+                    .map_batches(push_restored, batch_format="pyarrow")
+                    .sum("n")  # execution barrier; driver sees one int
+                )
+                self._restored_doc_paths = []
+            # also accept plain driver-side tables (test paths append them)
             extras = []
             for t in self.doc_tables:
                 if isinstance(t, pa.Table) and t.num_rows:
-                    m = pc.is_in(t["site"], value_set=fuzzy_sites)
-                    if pc.any(m).as_py():
-                        extras.append(
-                            self.fuzzy_buf.add.remote(
-                                t.filter(m).select(FUZZY_PROJ_COLS)
+                    for site, buf in self.fuzzy_bufs.items():
+                        sub = t.filter(pc.equal(t["site"], site))
+                        if sub.num_rows:
+                            extras.append(
+                                buf.add.remote(sub.select(FUZZY_PROJ_COLS))
                             )
-                        )
             if extras:
                 ray.get(extras)
-            kept_ref = self.fuzzy_buf.scan.remote(list(self.retracted_seqs))
+            drop = list(self.retracted_seqs)
+            kept_refs = [b.scan.remote(drop) for b in self.fuzzy_bufs.values()]
         self.finalize_metrics = {"fuzzy_scan_kickoff": round(_time.time() - _t0, 3)}
 
         def final_filter(b: pa.Table) -> pa.Table:
-            if kept_ref is not None and b.num_rows:
+            if kept_refs and b.num_rows:
                 is_f = pc.is_in(b["site"], value_set=fuzzy_sites)
                 if pc.any(is_f).as_py():
-                    kept = pa.array(ray.get(kept_ref), pa.int64())
+                    import numpy as np
+
+                    kept = pa.array(
+                        np.concatenate(ray.get(kept_refs)), pa.int64()
+                    )
                     ok = pc.is_in(b["discovered_seq"], value_set=kept)
                     b = b.filter(pc.or_(pc.invert(is_f), ok))
             return b.select(ARTICLE_COLS).cast(ARTS_SCHEMA)
@@ -1034,24 +1094,111 @@ def _fuzzy_scan_tables(tables: list[pa.Table], drop: frozenset) -> "np.ndarray":
     return np.asarray(accepted, dtype=np.int64)
 
 
+def _fuzzy_scan_runs(site: str, runs: list, drop: frozenset) -> "np.ndarray":
+    """The per-site sequential first-accepted-wins scan over a k-way MERGE
+    of seq-sorted runs (spill files + the in-memory tail): the scan's input
+    never concatenates into one table, so scan memory is bounded by the
+    accepted-title memory (inherent to the semantics) plus one read batch
+    per run. Same replay/retraction contract as `_fuzzy_scan_tables`:
+    duplicate seqs are adjacent in merge order and skipped; retracted seqs
+    are dropped up front; exact normalized repeats short-circuit before the
+    bit-parallel LCS."""
+    import heapq
+
+    import numpy as np
+
+    thr = SITES[site].fuzzy_threshold
+    mem: list[str] = []
+    mem_exact: set[str] = set()
+    prev = None
+    accepted: list[int] = []
+    for sq, ti in heapq.merge(*runs, key=lambda x: x[0]):
+        if sq == prev or sq in drop:
+            continue
+        prev = sq
+        norm = normalize_for_fuzzy(ti)
+        if norm in mem_exact or fuzzy_is_dup(ti, mem, thr):
+            continue
+        mem.append(norm)
+        mem_exact.add(norm)
+        accepted.append(sq)
+    return np.asarray(accepted, dtype=np.int64)
+
+
 @ray.remote(num_cpus=0)
 class FuzzyTitleBuffer:
-    """Accumulates the fuzzy-enabled sites' (site, seq, title) doc
-    projections as the wave stages emit them — three narrow columns per
-    fuzzy doc, held in ONE actor (never the driver), so finalize needs no
-    extra pass over the doc datasets to gather scan input. At 10^10 docs
-    this shards per fuzzy site (the scan is per-site sequential anyway);
-    num_cpus=0 like the other state actors — a fractional reservation
-    quantizes away whole task slots at small cluster sizes."""
+    """ONE actor PER FUZZY SITE accumulating that site's (site, seq, title)
+    doc projections as the wave stages emit them — three narrow columns per
+    fuzzy doc, never on the driver — and SPILLING to seq-sorted parquet
+    runs past ``spill_rows`` so the hot fuzzy site (the reference's google,
+    ~half the frontier) never holds its whole projection in actor RSS.
+    The scan k-way-merges the sorted spill runs with the in-memory tail
+    (`_fuzzy_scan_runs`) — streaming, not concat-and-sort. Per-site actors
+    also let multiple fuzzy sites scan in parallel. num_cpus=0 like the
+    other state actors — a fractional reservation quantizes away whole
+    task slots at small cluster sizes."""
 
-    def __init__(self):
+    def __init__(self, site: str, spill_dir: str | None = None,
+                 spill_rows: int = 1 << 20):
+        self.site = site
+        self.spill_rows = spill_rows
+        self._spill_dir = spill_dir  # created lazily on first spill
         self._tables: list[pa.Table] = []
+        self._rows = 0
+        self._spills: list[str] = []
 
     def add(self, t: pa.Table) -> None:
+        if t.num_rows == 0:
+            return
         self._tables.append(t)
+        self._rows += t.num_rows
+        if self._rows >= self.spill_rows:
+            self._spill()
+
+    def _spill(self) -> None:
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix=f"newsray_fuzzy_{self.site}_")
+        os.makedirs(self._spill_dir, exist_ok=True)
+        t = pa.concat_tables(self._tables).sort_by("discovered_seq")
+        path = os.path.join(self._spill_dir, f"run_{len(self._spills):06d}.parquet")
+        pq.write_table(t, path)
+        self._spills.append(path)
+        self._tables, self._rows = [], 0
+
+    def stats(self) -> dict:
+        """Introspection for tests: in-memory rows stay < spill_rows."""
+        return {"buffered_rows": self._rows, "n_spills": len(self._spills)}
 
     def scan(self, drop: list[int]) -> "np.ndarray":
-        return _fuzzy_scan_tables(self._tables, frozenset(drop))
+        import pyarrow.parquet as pq
+
+        def file_run(path):
+            f = pq.ParquetFile(path)
+            for batch in f.iter_batches(
+                columns=["discovered_seq", "title"], batch_size=8192
+            ):
+                yield from zip(
+                    batch["discovered_seq"].to_pylist(), batch["title"].to_pylist()
+                )
+
+        runs = [file_run(p) for p in self._spills]
+        live = [t for t in self._tables if t.num_rows]
+        if live:
+            tail = pa.concat_tables(live).sort_by("discovered_seq")
+            runs.append(
+                iter(
+                    zip(
+                        tail["discovered_seq"].to_pylist(),
+                        tail["title"].to_pylist(),
+                    )
+                )
+            )
+        return _fuzzy_scan_runs(self.site, runs, frozenset(drop))
 
 
 def _fuzzy_pass(arts: pa.Table) -> pa.Table:

@@ -133,3 +133,59 @@ def test_deferred_title_resolution_honors_url_retractions():
     assert sh.record_title_claim(["t:T", "t:X"], [200, 201]) == [False, True]
     assert sh.resolve_titles([]) == []
     assert sh.contains(["t:X"]) == [True]
+
+
+def test_fuzzy_buffer_spills_and_scans_exactly(ray_session):
+    """VERDICT r2 #2: the per-site fuzzy buffer must spill to sorted parquet
+    runs past spill_rows (actor RSS never holds the whole projection) and
+    its streaming merge scan must equal the in-memory reference scan."""
+    import numpy as np
+    import ray as _ray
+
+    from newsray.pipeline import FuzzyTitleBuffer, _fuzzy_scan_tables
+    from newsray.sites import SITES
+
+    site = next(s for s, c in SITES.items() if c.fuzzy_dedup)
+    rng = np.random.default_rng(7)
+    n = 5000
+    seqs = rng.permutation(n * 3)[:n].astype("int64")  # unsorted arrival
+    # a mix of unique titles and exact repeats (repeats dedup in the scan)
+    titles = [
+        f"고유한 제목 {int(s)} 뉴스" if s % 3 else "반복되는 동일 제목 뉴스" for s in seqs
+    ]
+    t = pa.table({"site": [site] * n, "discovered_seq": seqs, "title": titles})
+
+    buf = FuzzyTitleBuffer.remote(site, spill_rows=512)
+    for i in range(0, n, 250):  # pushed in arrival chunks
+        _ray.get(buf.add.remote(t.slice(i, 250)))
+    stats = _ray.get(buf.stats.remote())
+    assert stats["n_spills"] >= 5, stats  # it really spilled
+    assert stats["buffered_rows"] < 512, stats  # RSS bounded by spill_rows
+    got = list(_ray.get(buf.scan.remote([])))
+    want = list(_fuzzy_scan_tables([t], frozenset()))
+    assert got == want
+    # retraction drop applies identically through the merge path
+    drop = [int(s) for s in sorted(seqs)[:50]]
+    assert list(_ray.get(buf.scan.remote(drop))) == list(
+        _fuzzy_scan_tables([t], frozenset(drop))
+    )
+
+
+def test_crawl_exact_with_tiny_fuzzy_spill(ray_session):
+    """End-to-end: the real pipeline with a tiny spill threshold (every wave
+    spills) still matches the sequential oracle exactly."""
+    from newsray.oracle import run_oracle
+    from newsray.pipeline import CrawlPipeline, PipelineConfig
+    from newsray.policy import CrawlPolicy
+    from newsray.synth import SyntheticWeb, WebParams
+
+    params, policy = WebParams(only_sites=("google", "nate")), CrawlPolicy()
+    res = CrawlPipeline(
+        PipelineConfig(web_params=params, policy=policy, fuzzy_spill_rows=32)
+    ).run(streaming_finalize=True)  # the buffer-scan path is the one spilling
+    got = sorted(
+        u for b in res["articles_ds"].iter_batches(batch_format="pyarrow")
+        for u in b["url"].to_pylist()
+    )
+    ora = run_oracle(SyntheticWeb(params), policy)
+    assert got == sorted(r["url"] for r in ora.articles)
