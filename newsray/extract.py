@@ -89,14 +89,32 @@ from dataclasses import dataclass as _dataclass
 class SelectorSet:
     """Declarative per-site CSS selectors. ``item`` scopes a listing entry;
     the others resolve within it (or the article page for ``art_*``).
-    ``*_attr`` pulls an attribute instead of element text (e.g. the
-    reference's ``data-title`` URL-decode fallback, Daum_crawler.py:95-100,
-    and ``<time datetime>``, Google_Crawler.py:213-218)."""
+    ``*_attr`` pulls an attribute instead of element text.
+
+    Fallback surface (each mirrors a reference crawler's exact cascade):
+    * ``item_fallback`` — tried when ``item`` matches nothing
+      (``article`` → ``div.XlKvRb, div.NiLAwe``, Google_Crawler.py:163-166);
+    * ``link="&"`` — the item element IS the anchor
+      (``.item_newsheadline2`` is an ``<a>``, Daum_crawler.py:88;
+      ``div.picarticle a``, SkyDaily_Crawler.py:148);
+    * ``title_fallback`` — secondary title element
+      (``h3, h4`` when the link text is empty, Google_Crawler.py:200-204);
+    * ``title_fallback_attr`` (+ ``title_unquote``) — attribute fallback,
+      URL-decoded (``data-title`` + unquote, Daum_crawler.py:98-100);
+      when ANY title selector is configured and the whole cascade comes up
+      empty the item is SKIPPED (``if not text_content: return False``);
+    * ``art_img_fallback`` / ``art_img_fallback_attr`` — second-chance
+      article image (``meta[property="og:image"]`` then
+      ``img[alt="thumbnail"]``, Daum_crawler.py:64-68)."""
 
     item: str
-    link: str = "a"
+    item_fallback: str | None = None
+    link: str = "a"  # "&" → the item element itself is the anchor
     title: str | None = None  # None → the link's text
     title_attr: str | None = None
+    title_fallback: str | None = None
+    title_fallback_attr: str | None = None
+    title_unquote: bool = False
     time: str | None = None
     time_attr: str | None = None
     img: str | None = None
@@ -108,6 +126,8 @@ class SelectorSet:
     art_summary: str | None = None
     art_img: str | None = None
     art_img_attr: str = "src"
+    art_img_fallback: str | None = None
+    art_img_fallback_attr: str = "src"
 
 
 def _sel_value(scope, selector: str | None, attr: str | None):
@@ -124,18 +144,33 @@ def _sel_value(scope, selector: str | None, attr: str | None):
 
 
 def parse_listing_selectors(html: str, sel: SelectorSet) -> list[ListingItem]:
+    from urllib.parse import unquote
+
     from .htmlsel import parse_html, select, select_one
 
     root = parse_html(html)
+    item_els = select(root, sel.item)
+    if not item_els and sel.item_fallback:
+        item_els = select(root, sel.item_fallback)
+    has_title_sel = bool(
+        sel.title or sel.title_attr or sel.title_fallback or sel.title_fallback_attr
+    )
     items: list[ListingItem] = []
-    for dom_idx, el in enumerate(select(root, sel.item)):
-        a = select_one(el, sel.link)
+    for dom_idx, el in enumerate(item_els):
+        a = el if sel.link == "&" else select_one(el, sel.link)
         if a is None:
             continue
-        title = None
-        if sel.title or sel.title_attr:
+        if has_title_sel:
             title = _sel_value(el, sel.title or sel.link, sel.title_attr)
-        if not title:
+            if not title and sel.title_fallback:
+                title = _sel_value(el, sel.title_fallback, None)
+            if not title and sel.title_fallback_attr:
+                v = el.get(sel.title_fallback_attr)
+                if v:
+                    title = unquote(v) if sel.title_unquote else v
+            if not title:  # configured cascade exhausted → item skipped
+                continue
+        else:
             title = a.text.strip()
         img_el = select_one(el, sel.img) if sel.img else None
         lead_el = select_one(el, sel.lead) if sel.lead else None
@@ -158,11 +193,16 @@ def parse_article_selectors(html: str, sel: SelectorSet) -> dict:
     root = parse_html(html)
     summ_el = select_one(root, sel.art_summary) if sel.art_summary else None
     img_el = select_one(root, sel.art_img) if sel.art_img else None
+    img = (img_el.get(sel.art_img_attr) or "") if img_el is not None else ""
+    if not img and sel.art_img_fallback:  # Daum's og:image → thumbnail cascade
+        fb = select_one(root, sel.art_img_fallback)
+        if fb is not None:
+            img = fb.get(sel.art_img_fallback_attr) or ""
     return {
         "title": _sel_value(root, sel.art_title, None) or "",
         "time_raw": _sel_value(root, sel.art_time, sel.art_time_attr),
         "summary": summ_el.inner_html().strip() if summ_el is not None else None,
-        "img": (img_el.get(sel.art_img_attr) or "") if img_el is not None else "",
+        "img": img,
     }
 
 

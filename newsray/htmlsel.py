@@ -3,12 +3,17 @@ BeautifulSoup in this container).
 
 Covers every selector shape the reference crawlers actually use for their
 per-site extraction (SURVEY §2.2 M2/M3/M8/M9): tag names, ``.class``,
-``#id``, ``[attr]`` / ``[attr=value]`` predicates, compound simple
-selectors (``img#img1[data-src]``), the descendant combinator
-(``div.section_latest_article ul li`` — Naver_Crawler.py:109), the child
-combinator ``>``, and comma alternation (``div.XlKvRb, div.NiLAwe`` —
-Google_Crawler.py:163-166). Matching is document-order DFS with
-right-to-left compound verification — the classic engine shape.
+``#id``, ``[attr]`` / ``[attr=value]`` / ``[attr*=value]`` (substring —
+``span[class*="ARTICLE_DATE_TIME"]``, Naver_Crawler.py:74; ``p[class*=
+"perex"]``, VOA_Crawler.py:68) / ``[attr^=value]`` / ``[attr$=value]``
+predicates, compound simple selectors (``img#img1[data-src]``), the
+``:nth-of-type(n)`` / ``:first-of-type`` / ``:last-of-type`` pseudo-classes
+(``span.byline em:nth-of-type(3)`` — Gukje_Crawler.py:70;
+``span.txt_info:last-of-type`` — Daum_crawler.py:111), the descendant
+combinator (``div.section_latest_article ul li`` — Naver_Crawler.py:109),
+the child combinator ``>``, and comma alternation (``div.XlKvRb,
+div.NiLAwe`` — Google_Crawler.py:163-166). Matching is document-order DFS
+with right-to-left compound verification — the classic engine shape.
 """
 
 from __future__ import annotations
@@ -120,13 +125,14 @@ def parse_html(html: str) -> Element:
 
 _SIMPLE_RE = re.compile(
     r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
-    r"(?P<rest>(?:[.#][\w-]+|\[[^\]]+\])*)"
+    r"(?P<rest>(?:[.#][\w-]+|\[[^\]]+\]|:[\w-]+(?:\([^)]*\))?)*)"
 )
-_PART_RE = re.compile(r"[.#][\w-]+|\[[^\]]+\]")
+_PART_RE = re.compile(r"[.#][\w-]+|\[[^\]]+\]|:[\w-]+(?:\([^)]*\))?")
+_ATTR_OP_RE = re.compile(r"^([\w-]+)\s*(\*=|\^=|\$=|=)\s*(.*)$")
 
 
 class _Simple:
-    __slots__ = ("tag", "id", "classes", "attrs")
+    __slots__ = ("tag", "id", "classes", "attrs", "pseudos")
 
     def __init__(self, src: str):
         m = _SIMPLE_RE.match(src)
@@ -135,19 +141,30 @@ class _Simple:
         self.tag = m.group("tag") if m.group("tag") not in (None, "*") else None
         self.id: str | None = None
         self.classes: list[str] = []
-        self.attrs: list[tuple[str, str | None]] = []
+        self.attrs: list[tuple[str, str, str | None]] = []  # (key, op, value)
+        self.pseudos: list[tuple[str, int | None]] = []
         for part in _PART_RE.findall(m.group("rest") or ""):
             if part.startswith("."):
                 self.classes.append(part[1:])
             elif part.startswith("#"):
                 self.id = part[1:]
-            else:  # [attr] or [attr=value] (quotes optional)
-                body = part[1:-1]
-                if "=" in body:
-                    k, v = body.split("=", 1)
-                    self.attrs.append((k.strip(), v.strip().strip("'\"")))
+            elif part.startswith(":"):
+                body = part[1:]
+                if body.startswith("nth-of-type(") and body.endswith(")"):
+                    self.pseudos.append(("nth-of-type", int(body[12:-1])))
+                elif body in ("first-of-type", "last-of-type"):
+                    self.pseudos.append((body, None))
                 else:
-                    self.attrs.append((body.strip(), None))
+                    raise ValueError(f"unsupported pseudo-class :{body}")
+            else:  # [attr] / [attr=v] / [attr*=v] / [attr^=v] / [attr$=v]
+                body = part[1:-1]
+                om = _ATTR_OP_RE.match(body)
+                if om:
+                    self.attrs.append(
+                        (om.group(1), om.group(2), om.group(3).strip().strip("'\""))
+                    )
+                else:
+                    self.attrs.append((body.strip(), "", None))
 
     def matches(self, el: Element) -> bool:
         if self.tag is not None and el.tag != self.tag:
@@ -156,10 +173,35 @@ class _Simple:
             return False
         if self.classes and not set(self.classes) <= el.classes:
             return False
-        for k, v in self.attrs:
+        for k, op, v in self.attrs:
             if k not in el.attrs:
                 return False
-            if v is not None and el.attrs.get(k) != v:
+            have = el.attrs.get(k) or ""
+            if op == "=" and have != v:
+                return False
+            if op == "*=" and v not in have:
+                return False
+            if op == "^=" and not have.startswith(v):
+                return False
+            if op == "$=" and not have.endswith(v):
+                return False
+        for name, arg in self.pseudos:
+            parent = el.parent
+            sibs = (
+                [
+                    c
+                    for c in parent.children
+                    if isinstance(c, Element) and c.tag == el.tag
+                ]
+                if parent is not None
+                else [el]
+            )
+            pos = sibs.index(el)
+            if name == "nth-of-type" and pos != arg - 1:
+                return False
+            if name == "first-of-type" and pos != 0:
+                return False
+            if name == "last-of-type" and pos != len(sibs) - 1:
                 return False
         return True
 

@@ -197,6 +197,7 @@ def run_oracle(web: SyntheticWeb, policy: CrawlPolicy | None = None) -> OracleRe
                                 "page_no": row["page_no"],
                                 "seq": seq_c,
                                 "title": item.title,
+                                "time_raw": item.time_raw,
                             }
                         )
                     else:
@@ -229,11 +230,14 @@ def run_oracle(web: SyntheticWeb, policy: CrawlPolicy | None = None) -> OracleRe
                     if not matchers[cfg.site].relevant(target):
                         metrics[(cfg.site, "dropped_relevance")] += 1
                         continue
+                traw = detail["time_raw"]
+                if traw is None:  # time only on the listing (e.g. Daum)
+                    traw = row.get("time_raw")
                 rec = finalize_article(
                     cfg,
                     row["canon_url"],
                     title,
-                    detail["time_raw"],
+                    traw,
                     detail["summary"],
                     detail["img"],
                     row["seq"],

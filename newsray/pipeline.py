@@ -119,6 +119,11 @@ FRONTIER_COLS = [
     "page_no",
     "discovered_seq",
     "title",
+    # the listing's raw timestamp rides to the detail fetch: sites whose
+    # time lives ONLY on the listing (Daum_crawler.py:111 vs its
+    # detail-extract :55-73) finalize with it when the article page has no
+    # time element — detail time wins when both exist
+    "time_raw",
 ]
 
 FRONTIER_SCHEMA = pa.schema(
@@ -132,6 +137,7 @@ FRONTIER_SCHEMA = pa.schema(
         ("page_no", pa.int32()),
         ("discovered_seq", pa.int64()),
         ("title", pa.string()),
+        ("time_raw", pa.string()),
     ]
 )
 
@@ -275,11 +281,14 @@ def fetch_parse(batch: pa.Table, web_params: WebParams, policy: CrawlPolicy) -> 
                     target = title + " " + html_to_text(detail["summary"])
                 if not eng.matchers[cfg.site].relevant(target):
                     continue
+            traw = detail["time_raw"]
+            if traw is None:  # time only on the listing (e.g. Daum)
+                traw = row.get("time_raw")
             rec = finalize_article(
                 cfg,
                 row["canon_url"],
                 title,
-                detail["time_raw"],
+                traw,
                 detail["summary"],
                 detail["img"],
                 row["discovered_seq"],
@@ -640,6 +649,7 @@ class CrawlPipeline:
                     "page_no": 1,
                     "discovered_seq": make_seq(SITE_RANK[s["site"]], 0, s["seed_rank"], 1, 0),
                     "title": None,
+                    "time_raw": None,
                 }
             )
         return pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
