@@ -88,11 +88,12 @@ def documents_interleaved(sf_dir: str):
     )
 
 
-# one mini-crawl serves both crawl queries (the driver calls them separately)
+# one mini-crawl serves all four crawl queries (the driver calls them
+# separately)
 _CRAWL_CACHE: dict = {}
 
 
-def _mini_crawl_articles() -> pa.Table:
+def _mini_crawl() -> dict:
     key = CRAWL_SITES
     if key not in _CRAWL_CACHE:
         from .pipeline import CrawlPipeline, PipelineConfig
@@ -102,8 +103,12 @@ def _mini_crawl_articles() -> pa.Table:
         cfg = PipelineConfig(
             web_params=WebParams(only_sites=CRAWL_SITES), policy=CrawlPolicy()
         )
-        _CRAWL_CACHE[key] = CrawlPipeline(cfg).run()["articles"]
+        _CRAWL_CACHE[key] = CrawlPipeline(cfg).run()
     return _CRAWL_CACHE[key]
+
+
+def _mini_crawl_articles() -> pa.Table:
+    return _mini_crawl()["articles"]
 
 
 @register("crawl_articles", sql=golden_sql("crawl_articles"))
@@ -125,3 +130,58 @@ def crawl_documents(sf_dir: str):
     on top of the pytest conformance suite."""
     arts = _mini_crawl_articles()
     return spans_exploded(arts.to_pylist())
+
+
+@register("crawl_fetch_log", sql=golden_sql("crawl_fetch_log"))
+def crawl_fetch_log(sf_dir: str):
+    """The crawl's politeness-stamped fetch lineage (SURVEY T7/S3/A2) as a
+    flat SQL-typed table — hash-diffed against an independent sequential
+    recompute of the per-host virtual clock over the oracle's fetch order
+    (golden.golden_crawl_fetch_log). Covers the released_at_virtual spacing
+    invariant the actorized HostScheduler enforces distributed."""
+    flog = _mini_crawl()["fetch_log"]
+    return flog.select(
+        ["wave", "site", "host", "canon_url", "discovered_seq", "released_at_virtual"]
+    )
+
+
+@register("crawl_day_groups", sql=golden_sql("crawl_day_groups"))
+def crawl_day_groups(sf_dir: str):
+    """The reference's day-grouped per-site export (SURVEY K1/K2/O1/O2)
+    exploded flat — (site, date_group, pos_in_group, article fields) — and
+    hash-diffed against an independent plain-dict recompute of the save-time
+    grouping over the oracle's accepted articles."""
+    from .pipeline import day_grouped
+    from .sites import SITES
+
+    groups = day_grouped(_mini_crawl()["articles"])
+    rows: list[dict] = []
+    for g in groups:
+        has_summary = SITES[g["site"]].has_summary
+        for pos, a in enumerate(g["articles"]):
+            rows.append(
+                {
+                    "site": g["site"],
+                    "date_group": g["date"],
+                    "pos_in_group": pos,
+                    "title": a["title"],
+                    "time": a["time"],
+                    "img": a["img"],
+                    "url": a["url"],
+                    "original_url": a["original_url"],
+                    "summary": a["summary"] if has_summary else None,
+                }
+            )
+    return pa.table(
+        {
+            "site": pa.array([r["site"] for r in rows], pa.string()),
+            "date_group": pa.array([r["date_group"] for r in rows], pa.string()),
+            "pos_in_group": pa.array([r["pos_in_group"] for r in rows], pa.int32()),
+            "title": pa.array([r["title"] for r in rows], pa.string()),
+            "time": pa.array([r["time"] for r in rows], pa.timestamp("us")),
+            "img": pa.array([r["img"] for r in rows], pa.string()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "original_url": pa.array([r["original_url"] for r in rows], pa.string()),
+            "summary": pa.array([r["summary"] for r in rows], pa.string()),
+        }
+    )

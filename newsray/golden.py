@@ -413,6 +413,101 @@ def golden_crawl_documents(sf_dir: str) -> pa.Table:
     return spans_exploded(_oracle_articles())
 
 
+def _oracle_result():
+    from .oracle import run_oracle
+    from .policy import CrawlPolicy
+    from .synth import SyntheticWeb, WebParams
+
+    return run_oracle(SyntheticWeb(WebParams(only_sites=CRAWL_SITES)), CrawlPolicy())
+
+
+def golden_crawl_fetch_log(sf_dir: str) -> pa.Table:
+    """T7 (politeness clock) + S3 lineage behind the driver gate: replay the
+    sequential oracle's fetch log through an INDEPENDENT single-process
+    recompute of the virtual politeness clock — per wave, per host in seq
+    order, release = start + i*delay with the host clock carrying across
+    waves (the invariant frontier.HostScheduler enforces distributed)."""
+    from collections import defaultdict
+
+    from .sites import SITES
+
+    log = _oracle_result().fetch_log
+    next_free: dict[str, float] = {}
+    out: list[dict] = []
+    for w in sorted({f["wave"] for f in log}):
+        per_host: dict[str, list[dict]] = defaultdict(list)
+        for f in log:
+            if f["wave"] == w:
+                per_host[f["host"]].append(f)
+        for host in sorted(per_host):
+            rows = sorted(per_host[host], key=lambda r: r["seq"])
+            delay = SITES[rows[0]["site"]].politeness_delay
+            start = next_free.get(host, 0.0)
+            for i, r in enumerate(rows):
+                out.append({**r, "released_at_virtual": start + i * delay})
+            next_free[host] = start + len(rows) * delay
+    out.sort(key=lambda r: r["seq"])
+    return pa.table(
+        {
+            "wave": pa.array([r["wave"] for r in out], pa.int32()),
+            "site": pa.array([r["site"] for r in out], pa.string()),
+            "host": pa.array([r["host"] for r in out], pa.string()),
+            "canon_url": pa.array([r["canon_url"] for r in out], pa.string()),
+            "discovered_seq": pa.array([r["seq"] for r in out], pa.int64()),
+            "released_at_virtual": pa.array(
+                [r["released_at_virtual"] for r in out], pa.float64()
+            ),
+        }
+    )
+
+
+def golden_crawl_day_groups(sf_dir: str) -> pa.Table:
+    """K1/K2/O1/O2 (day-grouped sink) behind the driver gate: an independent
+    plain-dict recompute of the reference's save-time grouping — group by
+    (site, date label), in-group order time-desc (stable) for sort-in-group
+    sites else discovery order, groups sorted by date — exploded flat."""
+    from .sites import SITES
+
+    arts = _oracle_articles()
+    groups: dict[tuple[str, str], list[dict]] = {}
+    for a in arts:
+        groups.setdefault((a["site"], a["date_group"]), []).append(a)
+    rows: list[dict] = []
+    for site, dg in sorted(groups):
+        g = groups[(site, dg)]
+        if SITES[site].sort_in_group:
+            g = sorted(g, key=lambda r: r["time"], reverse=True)  # stable
+        else:
+            g = sorted(g, key=lambda r: r["discovered_seq"])
+        for pos, a in enumerate(g):
+            rows.append(
+                {
+                    "site": site,
+                    "date_group": dg,
+                    "pos_in_group": pos,
+                    "title": a["title"],
+                    "time": a["time"],
+                    "img": a["img"],
+                    "url": a["url"],
+                    "original_url": a["original_url"],
+                    "summary": a["summary"] if SITES[site].has_summary else None,
+                }
+            )
+    return pa.table(
+        {
+            "site": pa.array([r["site"] for r in rows], pa.string()),
+            "date_group": pa.array([r["date_group"] for r in rows], pa.string()),
+            "pos_in_group": pa.array([r["pos_in_group"] for r in rows], pa.int32()),
+            "title": pa.array([r["title"] for r in rows], pa.string()),
+            "time": pa.array([r["time"] for r in rows], pa.timestamp("us")),
+            "img": pa.array([r["img"] for r in rows], pa.string()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "original_url": pa.array([r["original_url"] for r in rows], pa.string()),
+            "summary": pa.array([r["summary"] for r in rows], pa.string()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # dump orchestration
 # ---------------------------------------------------------------------------
@@ -429,6 +524,8 @@ GOLDENS = {
     "video_frame_sample": golden_video_frame_sample,
     "crawl_articles": golden_crawl_articles,
     "crawl_documents": golden_crawl_documents,
+    "crawl_fetch_log": golden_crawl_fetch_log,
+    "crawl_day_groups": golden_crawl_day_groups,
 }
 
 
