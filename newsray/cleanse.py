@@ -70,9 +70,11 @@ def _stage12(b: pd.DataFrame) -> pd.DataFrame:
     lang_ok = lang_hits >= MIN_LANG_HITS
     qual_ok = (n_tok >= MIN_TOKENS) & ((stop_n / n_tok) >= MIN_STOP_RATIO)
     verdict = np.where(~lang_ok, "lang", np.where(~qual_ok, "quality", ""))
+    from .tabular import from_pandas_clean
+
     out = b[["doc_id", "text"]].copy()
     out["verdict"] = verdict
-    return out
+    return from_pandas_clean(out)
 
 
 def _verdict_table(doc_ids: pa.ChunkedArray | pa.Array, verdict: str) -> pa.Table:
@@ -90,9 +92,11 @@ def _exact_group(g: pd.DataFrame) -> pd.DataFrame:
     g = g.sort_values("doc_id")
     keep = np.zeros(len(g), dtype=bool)
     keep[0] = True
+    from .tabular import from_pandas_clean
+
     out = g[["doc_id", "text"]].copy()
     out["is_first"] = keep
-    return out
+    return from_pandas_clean(out)
 
 
 @register("corpus_clean", sql=golden_sql("corpus_clean"))

@@ -241,10 +241,12 @@ def minhash_pairs_ds(ds, size_bytes: int | None = None):
                 for j in range(i + 1, len(ids)):
                     out_a.append(int(ids[i]))
                     out_b.append(int(ids[j]))
-        return pd.DataFrame(
+        from .tabular import from_pandas_clean
+
+        return from_pandas_clean(pd.DataFrame(
             {"doc_a": pd.Series(out_a, dtype="int64"),
              "doc_b": pd.Series(out_b, dtype="int64")}
-        )
+        ))
 
     cand_pairs = (
         ds.map_batches(bands, batch_format="pyarrow")
@@ -291,12 +293,14 @@ def minhash_pairs_ds(ds, size_bytes: int | None = None):
                  "pb": pd.Series([], dtype="int64")}
             )
         txt = dict(zip(g.loc[g["doc_a"].isna(), "member"], g.loc[g["doc_a"].isna(), "text"]))
+        from .tabular import from_pandas_clean
+
         out = mem[["doc_a", "doc_b", "member"]].copy()
         out["doc_a"] = out["doc_a"].astype("int64")
         out["doc_b"] = out["doc_b"].astype("int64")
         out["text"] = out["member"].map(txt)
         out["pb"] = (out["doc_a"] * 1_000_003 + out["doc_b"]) & (B - 1)
-        return out
+        return from_pandas_clean(out)
 
     joined = (
         cand_pairs.map_batches(members, batch_format="pyarrow")
@@ -428,12 +432,14 @@ def dedup_simhash(sf_dir: str):
                  "doc_b": pd.Series([], dtype="int64"),
                  "hamming": pd.Series([], dtype="int64")}
             )
+        from .tabular import from_pandas_clean
+
         ii, jj, ham = _hamming_pairs(sg, HAMMING_T)
-        return pd.DataFrame(
+        return from_pandas_clean(pd.DataFrame(
             {"doc_a": pd.Series(ids[ii], dtype="int64"),
              "doc_b": pd.Series(ids[jj], dtype="int64"),
              "hamming": pd.Series(ham, dtype="int64")}
-        )
+        ))
 
     pairs = (
         ds.map_batches(sigs, batch_format="pyarrow")
@@ -720,13 +726,15 @@ def pairs_to_clusters(pairs):
 
     def attach_label(g: pd.DataFrame) -> pd.DataFrame:
         lmap = dict(zip(g.loc[g["node"].isna(), "k"], g.loc[g["node"].isna(), "label"]))
+        from .tabular import from_pandas_clean
+
         e = g[g["node"].notna()]
-        return pd.DataFrame(
+        return from_pandas_clean(pd.DataFrame(
             {
                 "node": e["node"].astype("int64"),
                 "cand": e["k"].map(lmap).astype("int64"),
             }
-        )
+        ))
 
     def min_side(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -740,10 +748,12 @@ def pairs_to_clusters(pairs):
 
     def merge_min(g: pd.DataFrame) -> pd.DataFrame:
         # both sides carry a candidate label for key k (own + neighbour-min)
+        from .tabular import from_pandas_clean
+
         lab = g.groupby("k", as_index=False)["label"].min()
-        return pd.DataFrame(
+        return from_pandas_clean(pd.DataFrame(
             {"node": lab["k"].astype("int64"), "label": lab["label"].astype("int64")}
-        )
+        ))
 
     # diameter ≤ node count bounds the rounds; hitting it means a bug, so
     # fail loudly rather than return silently-unconverged cluster labels

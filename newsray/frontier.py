@@ -79,14 +79,23 @@ def scheduler_shard_of(host: str, n_shards: int) -> int:
 class ScheduleGroup:
     """``map_groups`` callable over host groups: sort by seq, reserve slots
     from the host's scheduler shard, stamp ``released_at_virtual``, drop
-    budget-overflow rows."""
+    budget-overflow rows.
+
+    Returns ARROW with the schema metadata stripped: pandas-derived blocks
+    carry a ``b'pandas'`` schema-metadata dict that makes the schema
+    UNHASHABLE, which downstream shuffle reduces hit as "Failed to hash the
+    schemas (for deduplication): unhashable type: 'dict'" on every merge
+    (VERDICT r2 polish (a) — the warning spam source)."""
 
     def __init__(self, schedulers: list):
         self.schedulers = schedulers
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, g: pd.DataFrame):
+        import pyarrow as pa
+
         if len(g) == 0:
-            return g.assign(released_at_virtual=np.zeros(0))
+            g = g.assign(released_at_virtual=np.zeros(0))
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
         host = g["host"].iloc[0]
         site = g["site"].iloc[0]
         delay = SITES[site].politeness_delay if site in SITES else 1.0
@@ -95,4 +104,4 @@ class ScheduleGroup:
         start, granted = ray.get(shard.reserve.remote(host, len(g), delay))
         g = g.iloc[:granted].copy()
         g["released_at_virtual"] = start + np.arange(len(g)) * delay
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)

@@ -132,9 +132,11 @@ def events_daily_counts(sf_dir: str):
     per-batch partial counts before the tiny key shuffle."""
     ds = read(sf_dir, "events", ["ts"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    def partial(b: pd.DataFrame) -> pa.Table:
+        from .tabular import from_pandas_clean
+
         c = b["ts"].dt.strftime("%Y-%m-%d").value_counts()
-        return pd.DataFrame({"day": c.index, "partial_n": c.to_numpy()})
+        return from_pandas_clean(pd.DataFrame({"day": c.index, "partial_n": c.to_numpy()}))
 
     from ray.data.aggregate import Sum
 
@@ -441,19 +443,23 @@ def hourly_user_windows(sf_dir: str):
 
     B = n_buckets(size_bytes=ds.size_bytes())
 
-    def add_window(b: pd.DataFrame) -> pd.DataFrame:
+    def add_window(b: pd.DataFrame) -> pa.Table:
+        from .tabular import from_pandas_clean
+
         us = b["ts"].astype("datetime64[us]").astype("int64")  # epoch microseconds
         b = b[["user_id", "value"]].copy()
         b["hour_bucket"] = us // 3_600_000_000
         b["part"] = b["user_id"] % B
-        return b
+        return from_pandas_clean(b)
 
-    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def agg_bucket(g: pd.DataFrame) -> pa.Table:
+        from .tabular import from_pandas_clean
+
         out = g.groupby(["user_id", "hour_bucket"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
         out["n_events"] = out["n_events"].astype("int64")
-        return out
+        return from_pandas_clean(out)
 
     out = (
         ds.map_batches(add_window, batch_format="pandas")

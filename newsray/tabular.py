@@ -11,7 +11,28 @@ import ray.data as rd
 
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned parquet read with a METADATA-FREE schema: pandas-written
+    parquet carries a b'pandas' schema-metadata dict that makes pyarrow
+    schemas UNHASHABLE, so every block merge inside the read task and every
+    downstream shuffle reduce logs "Failed to hash the schemas (for
+    deduplication)" and falls off the dedup fast path. Passing an explicit
+    clean (pruned) schema removes the metadata at the source — one local
+    footer read, no extra per-batch work."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    full = pq.read_schema(path)
+    names = columns if columns is not None else full.names
+    clean = pa.schema([pa.field(n, full.field(n).type) for n in names])
+    return rd.read_parquet(path, schema=clean, columns=columns)
+
+
+def from_pandas_clean(df) -> pa.Table:
+    """pandas → arrow WITHOUT the b'pandas' schema-metadata dict (which makes
+    pyarrow schemas unhashable — see `read`). Used by map_batches/map_groups
+    UDFs whose output feeds a shuffle, so every reduce keeps Ray's
+    schema-dedup fast path instead of logging a hash failure per merge."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def md5_utf8(values: list[str]) -> list[str]:
