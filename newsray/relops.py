@@ -727,3 +727,47 @@ def clicks_near_purchase(sf_dir: str):
         .groupby(["bin", "ubucket"])
         .map_groups(join_bin, batch_format="pandas")
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_type_day_pivot",
+    sql="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (event_type = 'view')     AS n_view
+    FROM events GROUP BY day
+    """,
+)
+def events_type_day_pivot(sf_dir: str):
+    """PIVOT (wide aggregate): per-day event counts spread into one column
+    per event type. Each batch folds to a ≤days×5 crosstab partial (map-side
+    combine), then one small groupby sums the fixed columns — the shuffle
+    carries O(days × types) ints regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    from .tabular import from_pandas_clean
+
+    ds = read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        day = b["ts"].dt.strftime("%Y-%m-%d")
+        ct = pd.crosstab(day, b["event_type"])
+        out = pd.DataFrame({"day": ct.index.astype(str)})
+        for t in EVENT_TYPES:
+            out[f"p_{t}"] = (
+                ct[t].to_numpy() if t in ct.columns else np.zeros(len(ct), dtype=np.int64)
+            ).astype("int64")
+        return from_pandas_clean(out)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=256 * 1024)
+        .groupby("day")
+        .aggregate(*[Sum(f"p_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+    )
+    return out

@@ -228,3 +228,46 @@ def stratified_sample_by_source(sf_dir: str):
         )
 
     return ds.groupby("source").map_groups(pick, batch_format="pandas")
+
+
+@register(
+    "top50_tokens",
+    sql="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 50
+    """,
+)
+def top50_tokens(sf_dir: str):
+    """Corpus-level top-k token frequencies — the canonical HIGH-CARDINALITY
+    aggregation: the token key space is corpus-sized, so each batch folds to
+    (tok, partial_n) via a local Counter (map-side combine — the shuffle
+    carries one row per DISTINCT token per batch, not one per occurrence),
+    one groupby sums the partials, and the distributed sort-limit takes the
+    top 50 (ties broken by token so the cut is oracle-stable)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b["text"].to_pylist():
+            c.update(t.split(" "))
+        return pa.Table.from_pydict(
+            {
+                "tok": pa.array(list(c.keys()), pa.string()),
+                "partial_n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=64 * 1024)
+        .groupby("tok")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(50)
+    )
