@@ -345,3 +345,75 @@ def test_jaccard_grid_decomposition_equals_all_pairs():
             got.update(cell)
     assert want, "corpus should contain near-dup pairs"
     assert got == want
+
+
+# -- round-3 additions: selector-engine extensions + zero-copy embeddings ----
+
+
+def test_htmlsel_attr_ops_and_of_type_pseudos():
+    from newsray.htmlsel import parse_html, select, select_one
+
+    root = parse_html(
+        "<div><span class='byline'><em>kim</em><em>id9</em><em>2025.04.18 09:30</em>"
+        "</span><p class='perex news-perex'>lead</p>"
+        "<span class='media_end_head ARTICLE_DATE_TIME' data-d='x'>t</span></div>"
+    )
+    assert select_one(root, "span.byline em:nth-of-type(3)").text == "2025.04.18 09:30"
+    assert select_one(root, "span.byline em:first-of-type").text == "kim"
+    assert select_one(root, "span.byline em:last-of-type").text == "2025.04.18 09:30"
+    assert select_one(root, 'p[class*="perex"]').text == "lead"
+    assert select_one(root, 'span[class*="ARTICLE_DATE_TIME"]').get("data-d") == "x"
+    assert select_one(root, 'p[class^="perex"]') is not None
+    assert select_one(root, 'p[class$="news-perex"]') is not None
+    assert select_one(root, 'p[class*="nope"]') is None
+    assert len(select(root, "span.byline em")) == 3
+
+
+def test_selectorset_title_cascade_and_fallbacks():
+    from urllib.parse import quote
+
+    from newsray.extract import SelectorSet, parse_listing_selectors
+
+    sel = SelectorSet(
+        item="a.it",
+        link="&",
+        title="span.t",
+        title_fallback_attr="data-title",
+        title_unquote=True,
+    )
+    html = (
+        f"<a class='it' href='/1'><span class='t'>제목 하나</span></a>"
+        f"<a class='it' href='/2' data-title='{quote('제목 둘')}'>x</a>"
+        f"<a class='it' href='/3'>no title anywhere</a>"
+    )
+    items = parse_listing_selectors(html, sel)
+    # third item: configured cascade exhausted → SKIPPED, not a.text
+    assert [(i.href, i.title) for i in items] == [("/1", "제목 하나"), ("/2", "제목 둘")]
+
+    # item fallback + title-element fallback (the google shapes)
+    sel2 = SelectorSet(item="article", item_fallback="div.N", title_fallback="h3, h4")
+    html2 = (
+        "<div class='N'><a href='/a'>링크 제목</a></div>"
+        "<div class='N'><a href='/b'></a><h4>폴백 제목</h4></div>"
+    )
+    items2 = parse_listing_selectors(html2, sel2)
+    assert [(i.href, i.title) for i in items2] == [("/a", "링크 제목"), ("/b", "폴백 제목")]
+
+
+def test_emb_matrix_zero_copy_equals_pylist():
+    import numpy as np
+    import pyarrow as pa
+
+    from newsray.ann import emb_matrix
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((40, 16)).astype(np.float32)
+    col = pa.array([row.tolist() for row in m], pa.list_(pa.float32()))
+    got = emb_matrix(col)
+    want = np.asarray(col.to_pylist(), dtype=np.float64)
+    assert got.dtype == np.float64 and got.shape == (40, 16)
+    assert np.array_equal(got, want)  # bit-identical to the old path
+    # sliced chunked column (offset ≠ 0) stays correct
+    t = pa.table({"e": col}).slice(7, 9)
+    got2 = emb_matrix(t["e"])
+    assert np.array_equal(got2, want[7:16])
