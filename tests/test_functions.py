@@ -417,3 +417,31 @@ def test_emb_matrix_zero_copy_equals_pylist():
     t = pa.table({"e": col}).slice(7, 9)
     got2 = emb_matrix(t["e"])
     assert np.array_equal(got2, want[7:16])
+
+
+def test_substring_relevance_fast_path_exact():
+    """The compiled-alternation fast path must be EXACTLY the naive
+    per-keyword containment predicate, including overlap-prone keyword sets
+    (a findall can hide an overlapped keyword — the boundary case falls
+    back to the exact loop)."""
+    import random
+
+    from newsray.textfns import KeywordMatcher
+
+    rng = random.Random(0)
+    vocab = ["북한", "한미", "미사일", "일본", "본부", "사일로", "a", "ab", "b"]
+
+    def naive(inc, exc, check_exclude, thr, text):
+        low = text.lower()
+        if sum(1 for k in inc if k.lower() in low) < thr:
+            return False
+        return not (check_exclude and any(k.lower() in low for k in exc))
+
+    for _ in range(5000):
+        inc = rng.sample(vocab, rng.randint(0, 5))
+        exc = rng.sample(vocab, rng.randint(0, 3))
+        chk = rng.random() < 0.7
+        m = KeywordMatcher(inc, exc, variant="substring", check_exclude=chk)
+        text = "".join(rng.choice(vocab + [" ", " "]) for _ in range(rng.randint(0, 12)))
+        assert m.relevant(text) == naive(inc, exc, chk, m.threshold, text), (
+            inc, exc, chk, text)
