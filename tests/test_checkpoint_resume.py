@@ -180,3 +180,31 @@ def test_write_wave_refuses_completed_and_unrestored(ray_session, tmp_path):
     ckpt._atomic_json(os.path.join(root, "manifest.json"), man)
     with _pytest.raises(ValueError, match="ahead of the live"):
         ckpt.write_wave(root, 1, empty, empty, empty, shards, scheds, {})
+
+
+def test_resume_streaming_finalize_fuzzy_repush(ray_session):
+    """Resume + STREAMING finalize: the restored waves' fuzzy projections
+    re-push via the distributed pruned read (no driver wave tables), and the
+    fuzzy site's output still matches the sequential oracle exactly."""
+    params = WebParams(only_sites=("google", "nate"))  # google = fuzzy site
+    policy = CrawlPolicy()
+    with tempfile.TemporaryDirectory() as root:
+        ck = os.path.join(root, "ck")
+        CrawlPipeline(
+            PipelineConfig(
+                web_params=params, policy=CrawlPolicy(max_waves=1),
+                checkpoint_dir=ck,
+            )
+        ).run()
+        resumed = CrawlPipeline(
+            PipelineConfig(web_params=params, policy=policy, checkpoint_dir=ck)
+        )
+        res = resumed.run(streaming_finalize=True)
+        assert resumed.start_wave >= 1
+        assert resumed._restored_doc_paths == []  # consumed by the re-push
+        got = sorted(
+            u for b in res["articles_ds"].iter_batches(batch_format="pyarrow")
+            for u in b["url"].to_pylist()
+        )
+        ora = run_oracle(SyntheticWeb(params), policy)
+        assert got == sorted(r["url"] for r in ora.articles)
