@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument(
         "--sites", default="", help="comma-separated site subset (default: all)"
     )
+    c.add_argument(
+        "--fixture-dir",
+        default=None,
+        help="webfixture directory (manifest.json + saved pages): crawl REAL "
+        "HTML through the selector engine instead of the synthetic web — "
+        "e.g. tests/fixtures/refsites ships the reference's ten sites",
+    )
     c.add_argument("--extra-sections", type=int, default=0, help="widen the frontier")
     c.add_argument("--max-waves", type=int, default=None, help="BFS wave cap")
     c.add_argument(
@@ -69,6 +76,8 @@ def cmd_crawl(args: argparse.Namespace) -> dict:
         wp_kwargs["only_sites"] = tuple(s.strip() for s in args.sites.split(","))
     if args.extra_sections:
         wp_kwargs["extra_sections"] = args.extra_sections
+    if args.fixture_dir:
+        wp_kwargs["fixture_dir"] = args.fixture_dir
     pol_kwargs = {}
     if args.max_waves is not None:
         pol_kwargs["max_waves"] = args.max_waves
