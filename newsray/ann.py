@@ -92,6 +92,85 @@ def knn_brute_cosine(sf_dir: str):
     )
 
 
+N_QUERIES = 5  # knn_multi_brute: queries = vec_ids 0..4
+
+
+@register(
+    "knn_multi_brute",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4)
+                    AS cos_sim
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, vec_id ASC) AS rn
+           FROM scored)
+    SELECT query_id, vec_id, cos_sim FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def knn_multi_brute(sf_dir: str):
+    """BATCHED similarity search — the realistic training-data shape (many
+    probes per pass): top-k cosine neighbors for a broadcast QUERY MATRIX
+    (`ray.put` once; one (batch × queries) matmul per batch), with per-batch
+    per-query top-k pruning so the shuffle carries ≤ k·queries rows per
+    batch instead of n·queries, then one tiny groupby(query) finishes each
+    ranking. Pruning is safe: batch-local top-k under the FINAL order
+    ((rounded cos desc, vec_id asc)) can never drop a global winner."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids0 = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    sel = np.nonzero(ids0 < N_QUERIES)[0]
+    order = np.argsort(ids0[sel])
+    qids = ids0[sel][order]
+    Q = emb_matrix(tbl["embedding"].take(pa.array(sel[order], pa.int64())))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qref = ray.put((qids, Q))
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(b: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(qref)
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        m = emb_matrix(b["embedding"])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ Q_.T  # (n, n_queries)
+        r = np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4 * np.sign(cos)
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(qids_):
+            col = r[:, j]
+            keep = ids != qid
+            vids, vals = ids[keep], col[keep]
+            if len(vids) > TOP_K:  # batch-local prune under the final order
+                ordv = np.lexsort((vids, -vals))[:TOP_K]
+                vids, vals = vids[ordv], vals[ordv]
+            out_q.extend([int(qid)] * len(vids))
+            out_v.extend(int(x) for x in vids)
+            out_c.extend(float(x) for x in vals)
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(TOP_K)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (approximate; the 10^10-scale path)
 # ---------------------------------------------------------------------------
