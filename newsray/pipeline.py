@@ -581,6 +581,11 @@ class PipelineConfig:
     # optional CPU reservation per state actor (0 = unreserved; a nonzero
     # fraction quantizes away whole task slots at very small cluster sizes)
     actor_num_cpus: float = 0.0
+    # chaos hook (tests): name of a Ray actor whose take() decides whether a
+    # fetch task raises AFTER its side effects committed — proves the wave
+    # protocol's side effects (claims, fuzzy pushes, metrics) replay safely
+    # under Ray's task retry. None (production) = zero cost.
+    fault_inject_actor: str | None = None
 
 
 class CrawlPipeline:
@@ -736,9 +741,20 @@ class CrawlPipeline:
                     refs.append(buf.add.remote(sub))
             return refs
 
+        fault_actor = cfg.fault_inject_actor
+
         def fetch_parse_m(b: pa.Table) -> pa.Table:
             out = fetch_parse(b, wp, policy)
             refs = push_fuzzy_proj(out)
+            if fault_actor is not None and b.num_rows:
+                # chaos hook: die AFTER this batch's side effects commit —
+                # Ray's task retry must reproduce the batch with claims /
+                # fuzzy pushes / metrics all replay-safe (tested end-to-end)
+                if refs:
+                    ray.get(refs)
+                    refs = []
+                if ray.get(ray.get_actor(fault_actor).take.remote()):
+                    raise RuntimeError("injected transient fault (test hook)")
             if _NO_METRICS:
                 if refs:
                     ray.get(refs)
@@ -805,7 +821,20 @@ class CrawlPipeline:
             .map_groups(lambda g: sched_fn(g), batch_format="pandas")
             .map_batches(make_stripe(n_blocks), batch_format="pyarrow")
             .repartition(n_blocks, shuffle=True)  # skew-spread
-            .map_batches(fetch_parse_m, batch_format="pyarrow", batch_size=cfg.batch_size)
+            .map_batches(
+                fetch_parse_m,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                # worker-death retries are Ray's default; application-level
+                # retry is opted in only under the chaos hook (a real UDF
+                # exception is a bug and should fail loudly, while transient
+                # fetch-infra errors are already handled in-stage)
+                **(
+                    {"retry_exceptions": True, "max_retries": 3}
+                    if cfg.fault_inject_actor
+                    else {}
+                ),
+            )
             # batch_size=None: inherit the fused task's output batches — an
             # explicit batch_size larger than the upstream block size makes
             # Ray COALESCE all blocks into one task (serial wave!)

@@ -189,3 +189,48 @@ def test_crawl_exact_with_tiny_fuzzy_spill(ray_session):
     )
     ora = run_oracle(SyntheticWeb(params), policy)
     assert got == sorted(r["url"] for r in ora.articles)
+
+
+def test_task_retry_side_effects_replay_safe(ray_session):
+    """Chaos test: a fetch task dies AFTER its side effects (URL claims,
+    fuzzy pushes) committed; Ray retries the task and the wave protocol must
+    absorb the replay — same-seq claims re-present as wins, fuzzy pushes
+    dedup by seq — so the final output still equals the sequential oracle."""
+    import ray as _ray
+
+    from newsray.oracle import run_oracle
+    from newsray.pipeline import CrawlPipeline, PipelineConfig
+    from newsray.policy import CrawlPolicy
+    from newsray.synth import SyntheticWeb, WebParams
+
+    @_ray.remote
+    class FailOnce:
+        def __init__(self):
+            self.fired = 0
+
+        def take(self) -> bool:
+            self.fired += 1
+            return self.fired <= 2  # kill the first two attempts' batches
+
+        def count(self) -> int:
+            return self.fired
+
+    name = "nr_fault_once"
+    inj = FailOnce.options(name=name).remote()
+    params = WebParams(only_sites=("google", "nate", "naver"))
+    policy = CrawlPolicy()
+    res = CrawlPipeline(
+        PipelineConfig(web_params=params, policy=policy, fault_inject_actor=name)
+    ).run()
+    assert _ray.get(inj.count.remote()) >= 3  # injections actually fired
+    ora = run_oracle(SyntheticWeb(params), policy)
+    got = sorted(zip(res["fetch_log"]["discovered_seq"].to_pylist(),
+                     res["fetch_log"]["canon_url"].to_pylist()))
+    # fetch-log rows from killed attempts are re-emitted by the retry; the
+    # LOG may carry replays (lineage is at-least-once) but the accepted
+    # ARTICLE set must be exactly the oracle's
+    assert sorted(set(got)) == ora.fetch_order()
+    assert sorted(res["articles"]["url"].to_pylist()) == sorted(
+        r["url"] for r in ora.articles
+    )
+    _ray.kill(inj)
