@@ -271,3 +271,98 @@ def top50_tokens(sf_dir: str):
         .sort(["n", "tok"], descending=[True, False])
         .limit(50)
     )
+
+
+NGRAM_N = 8  # decontamination n-gram width
+
+
+@register(
+    "split_contamination",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - {NGRAM_N} + 2),
+                                   i -> md5(array_to_string(t[i:i+{NGRAM_N - 1}], ' ')))) AS g
+      FROM toks WHERE len(t) >= {NGRAM_N}
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+                  WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    j AS (SELECT grams.g, grams.doc_id, splits.split
+          FROM grams JOIN splits USING (doc_id)),
+    train_g AS (SELECT DISTINCT g FROM j WHERE split = 'train')
+    SELECT j.doc_id, j.split, COUNT(*) AS n_shared_grams
+    FROM j JOIN train_g USING (g)
+    WHERE j.split <> 'train'
+    GROUP BY j.doc_id, j.split
+    """,
+)
+def split_contamination(sf_dir: str):
+    """Train/eval DECONTAMINATION — the check every training corpus needs
+    before an eval split is trusted: every val/test document sharing at
+    least one 8-token n-gram with ANY train document, with the count of
+    distinct shared grams. Distributed shape: per batch, assign the split
+    (the `doc_split_assign` rule — pure hash, no join) and explode to
+    DISTINCT (gram-key, split, doc_id) rows; ONE groupby co-locates each
+    gram's members, groups holding a train member emit their non-train
+    members once each; a tiny keyed sum yields per-doc shared-gram counts.
+    The gram exchange groups by a COARSE partition of the gram key
+    (millions of one-row gram groups through map_groups is the known Ray
+    anti-pattern); per-gram logic inside a partition is one vectorized isin.
+    The shuffle key here is the md5 hex of the gram so the DuckDB oracle
+    can reproduce it byte-for-byte; at 10^10 scale the key becomes a 64-bit
+    gram hash and the same two-exchange plan holds."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        out_g, out_d, out_s = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = t.split(" ")
+            if len(toks) < NGRAM_N:
+                continue
+            hx = hashlib.md5(str(d).encode("utf-8")).hexdigest()
+            split = "train" if hx < "cc" else ("val" if hx < "e6" else "test")
+            grams = {
+                hashlib.md5(
+                    " ".join(toks[i : i + NGRAM_N]).encode("utf-8")
+                ).hexdigest()
+                for i in range(len(toks) - NGRAM_N + 1)
+            }
+            out_g.extend(grams)
+            out_d.extend([d] * len(grams))
+            out_s.extend([split] * len(grams))
+        part = [int(x[:8], 16) & 255 for x in out_g]  # coarse gram partition
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array(part, pa.int64()),
+                "g": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "split": pa.array(out_s, pa.string()),
+            }
+        )
+
+    def part_group(g: pd.DataFrame) -> pd.DataFrame:
+        # one coarse partition = many grams: vectorized membership, no
+        # per-gram Python. Members are DISTINCT (doc, gram) by construction.
+        train_g = g.loc[g["split"] == "train", "g"]
+        hit = g[(g["split"] != "train") & g["g"].isin(set(train_g))]
+        return pd.DataFrame(
+            {"doc_id": hit["doc_id"].astype("int64"),
+             "split": hit["split"],
+             "one": np.ones(len(hit), dtype="int64")}
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_group, batch_format="pandas")
+        .groupby(["doc_id", "split"])
+        .aggregate(Sum("one", alias_name="n_shared_grams"))
+    )
