@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "knn_lsh_indexed",
     "media_features",
     "corpus_clean",
+    "doc_repetition",
+    "pack_sequences",
+    "doc_distinctive_terms",
 ]
 
 

@@ -273,6 +273,275 @@ def top50_tokens(sf_dir: str):
     )
 
 
+@register(
+    "doc_repetition",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    mx AS (
+      SELECT doc_id, MAX(c) AS mc
+      FROM (SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             len(list_distinct(list_transform(range(1, len(t)),
+                                              i -> t[i] || chr(31) || t[i+1]))) AS dbg,
+             len(t) - 1 AS nbg
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT toks.doc_id,
+           len(toks.t) AS n_tokens,
+           ROUND(CAST(len(list_distinct(toks.t)) AS DOUBLE) / len(toks.t), 4)
+             AS distinct_ratio,
+           ROUND(CAST(mx.mc AS DOUBLE) / len(toks.t), 4) AS top_token_frac,
+           ROUND(CASE WHEN bg.nbg IS NULL OR bg.nbg = 0 THEN 0.0
+                      ELSE 1.0 - CAST(bg.dbg AS DOUBLE) / bg.nbg END, 4)
+             AS dup_bigram_frac
+    FROM toks JOIN mx USING (doc_id) LEFT JOIN bg USING (doc_id)
+    """,
+)
+def doc_repetition(sf_dir: str):
+    """Repetition-based quality gates (the Gopher-rule family): per doc the
+    distinct-token ratio, the most-frequent-token fraction, and the
+    duplicate-bigram fraction — the three signals that catch boilerplate,
+    keyword-stuffed and degenerate-loop documents before training. One
+    tokenize pass per row builds token counts and the bigram set together;
+    pure per-batch map, no shuffle, no state (reference parity: this extends
+    the reference's scalar text layer, SURVEY §2.8, the way its keyword
+    relevance extends matching)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        n_tok = np.empty(len(b), dtype="int64")
+        dratio = np.empty(len(b), dtype="float64")
+        topfrac = np.empty(len(b), dtype="float64")
+        dupbg = np.empty(len(b), dtype="float64")
+        for i, t in enumerate(b["text"].to_numpy()):
+            toks = t.split(" ")
+            n = len(toks)
+            c = Counter(toks)
+            n_tok[i] = n
+            dratio[i] = len(c) / n
+            topfrac[i] = max(c.values()) / n
+            if n >= 2:
+                bigrams = {(toks[j], toks[j + 1]) for j in range(n - 1)}
+                dupbg[i] = 1.0 - len(bigrams) / (n - 1)
+            else:
+                dupbg[i] = 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "n_tokens": n_tok,
+                "distinct_ratio": _round4(dratio),
+                "top_token_frac": _round4(topfrac),
+                "dup_bigram_frac": _round4(dupbg),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pandas")
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    sql=f"""
+    SELECT doc_id,
+           CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {PACK_BUDGET} AS BIGINT) AS seq_id
+    FROM documents
+    """,
+)
+def pack_sequences(sf_dir: str):
+    """Sequence packing — assign every document (in doc_id order) to a fixed
+    token-budget training sequence: seq_id = floor(prefix_tokens / budget),
+    where prefix_tokens is the total token count of all EARLIER docs. This
+    is a distributed PREFIX SCAN, the one aggregation shape Ray Data has no
+    primitive for, built the textbook way: (1) range-partition the tiny
+    (doc_id, n_tokens) projection by doc_id (contiguous ranges so partition
+    order == scan order), (2) per-partition token totals via a map-side
+    combine + one small groupby — O(K) rows to the driver, (3) driver
+    prefix-sums the K totals (the only sequential step, K ≈ buckets not
+    rows), (4) one groupby(part).map_groups sorts each range locally and
+    adds its global offset. Each group holds 16 B/row of projection — with
+    the data-aware bucket count a group stays worker-heap-sized at any
+    corpus size. Assumes doc_id is roughly uniform over its range (true for
+    any hash- or sequence-assigned id; a skewed id space would need
+    sampled range bounds, same as any range partitioner)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .tabular import from_pandas_clean, n_buckets
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    lohi = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(lohi["min(doc_id)"]), int(lohi["max(doc_id)"])
+    span = hi - lo + 1
+    nb = n_buckets(size_bytes=ds.size_bytes())
+
+    def counts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.array([len(t.split(" ")) for t in b["text"].to_pylist()], dtype="int64")
+        part = (ids - lo) * nb // span
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array(part, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(counts, batch_format="pyarrow")
+    totals = (
+        slim.groupby("part").aggregate(Sum("n_tokens", alias_name="tot")).take_all()
+    )  # O(K) rows — the scan's only driver-side state
+    per_part = {int(r["part"]): int(r["tot"]) for r in totals}
+    offsets, acc = {}, 0
+    for p in range(nb + 1):
+        offsets[p] = acc
+        acc += per_part.get(p, 0)
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id", kind="mergesort")
+        before = offsets[int(g["part"].iloc[0])] + (
+            g["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
+        )
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "seq_id": (before // PACK_BUDGET).astype("int64"),
+                }
+            )
+        )
+
+    return slim.groupby("part").map_groups(assign, batch_format="pandas")
+
+
+@register(
+    "doc_distinctive_terms",
+    sql="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    r AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok ASC
+                 ) AS rn
+          FROM tf JOIN df USING (tok))
+    SELECT doc_id, tok AS top_term, tf, df FROM r WHERE rn = 1
+    """,
+)
+def doc_distinctive_terms(sf_dir: str):
+    """Per-document most distinctive term — the tf·idf shape (term-frequency
+    × corpus rarity) with a deterministic surrogate ranking: argmax of
+    tf/df, which is cross-engine bit-exact (one IEEE division of two small
+    ints; no libm log whose last ulp could flip an argmax between engines),
+    ties broken by term. Distributed plan, sized for a corpus-scale vocab:
+    (1) DF by map-side combine — each doc lives in exactly one batch, so
+    per-batch distinct-doc counts per token sum to the global df; (2) tf
+    rows hash-bucketed BY TOKEN meet their df row in one groupby — a
+    bucketed hash join, no vocab broadcast; (3) inside each token bucket a
+    vectorized local argmax emits ≤1 row per (doc, bucket) — the combiner —
+    so the final regroup BY DOC carries ≤buckets rows per doc, not one per
+    term occurrence."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .tabular import from_pandas_clean, n_buckets
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    nb = n_buckets(size_bytes=ds.size_bytes())
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        out_d, out_t, out_n = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for tok, n in Counter(t.split(" ")).items():
+                out_d.append(d)
+                out_t.append(tok)
+                out_n.append(n)
+        part = [hash_bucket(t, nb) for t in out_t]
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array(part, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tok": pa.array(out_t, pa.string()),
+                "tf": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b["text"].to_pylist():
+            c.update(set(t.split(" ")))
+        toks = list(c.keys())
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array([hash_bucket(t, nb) for t in toks], pa.int64()),
+                "tok": pa.array(toks, pa.string()),
+                "df_n": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby(["part", "tok"])
+        .aggregate(Sum("df_n", alias_name="df"))
+    )
+
+    def bucket_best(g: pd.DataFrame) -> pa.Table:
+        # one token bucket: tf rows + df rows (df rows have doc_id == -1)
+        dfs = g[g["doc_id"] == -1]
+        tfs = g[g["doc_id"] != -1]
+        m = tfs.merge(dfs[["tok", "tf"]].rename(columns={"tf": "df"}), on="tok")
+        m["score"] = m["tf"].astype("float64") / m["df"].astype("float64")
+        m = m.sort_values(
+            ["doc_id", "score", "tok"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("doc_id")
+        m["part"] = (m["doc_id"] % nb).astype("int64")  # re-key by DOC for the regroup
+        return from_pandas_clean(m[["part", "doc_id", "tok", "tf", "df"]])
+
+    def df_as_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "part": b["part"],
+                "doc_id": pa.array([-1] * b.num_rows, pa.int64()),
+                "tok": b["tok"],
+                "tf": b["df"],
+            }
+        )
+
+    both = tf.union(df.map_batches(df_as_rows, batch_format="pyarrow"))
+    local_best = both.groupby("part").map_groups(bucket_best, batch_format="pandas")
+
+    def final_best(g: pd.DataFrame) -> pa.Table:
+        g = g.copy()
+        g["score"] = g["tf"].astype("float64") / g["df"].astype("float64")
+        g = g.sort_values(
+            ["doc_id", "score", "tok"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("doc_id")
+        return from_pandas_clean(
+            g[["doc_id", "tok", "df", "tf"]].rename(columns={"tok": "top_term"})
+        )
+
+    return local_best.groupby("part").map_groups(final_best, batch_format="pandas")
+
+
+def hash_bucket(tok: str, nb: int) -> int:
+    """Deterministic (seed-free) token → bucket: md5-low-bits mod nb."""
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % nb
+
+
 NGRAM_N = 8  # decontamination n-gram width
 
 

@@ -31,6 +31,9 @@ ORACLE_SUBSET = [
     "relevant_docs",
     "doc_split_assign",
     "stratified_sample_by_source",
+    "doc_repetition",
+    "pack_sequences",
+    "doc_distinctive_terms",
     "dedup_exact_first",
     "media_meta",
     "knn_brute_cosine",
