@@ -285,12 +285,17 @@ def minhash_pairs_ds(ds, size_bytes: int | None = None):
     def attach_text(g: pd.DataFrame) -> pd.DataFrame:
         mem = g[g["doc_a"].notna()].drop_duplicates(["doc_a", "doc_b", "member"])
         if len(mem) == 0:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "member": pd.Series([], dtype="int64"),
-                 "text": pd.Series([], dtype="object"),
-                 "pb": pd.Series([], dtype="int64")}
+            # typed empty ARROW block: an empty pandas object column trips
+            # Ray's block size estimator (np.vectorize on size-0) and logs
+            # "Error calculating size for column 'text'" once per empty group
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "member": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "pb": pa.array([], pa.int64()),
+                }
             )
         txt = dict(zip(g.loc[g["doc_a"].isna(), "member"], g.loc[g["doc_a"].isna(), "text"]))
         from .tabular import from_pandas_clean
