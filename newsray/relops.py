@@ -771,3 +771,126 @@ def events_type_day_pivot(sf_dir: str):
         .aggregate(*[Sum(f"p_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
     )
     return out
+
+
+@register(
+    "events_window_funcs",
+    sql="""
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           MAX(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS max3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_window_funcs(sf_dir: str):
+    """Per-row window functions — the LAG / sliding-frame family the
+    tumbling (`hourly_user_windows`) and session (`user_session_counts`)
+    ops don't cover: per user ordered by (ts, event_id), the previous
+    event's value and the 3-row sliding max. Both are ORDER-INDEPENDENT in
+    float (lag copies a value; max compares — no summation-order flake, cf.
+    the revenue_by_priority lesson). Users are hash-bucketed COARSELY
+    (data-aware bucket count) so the exchange moves each row once and no
+    task ever holds more than ~1/B of the table; inside a bucket the scan
+    is one vectorized pandas groupby(shift / rolling-max), not per-user
+    Python."""
+    from .tabular import from_pandas_clean, n_buckets
+
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    nb = n_buckets(size_bytes=ds.size_bytes())
+
+    def tag(b: pa.Table) -> pa.Table:
+        ub = pc.cast(
+            pc.bit_wise_and(b["user_id"], pa.scalar(nb - 1, pa.int64())), pa.int64()
+        )
+        return b.append_column("ub", ub)
+
+    def windows(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)["value"]
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "prev_value": grp.shift(1).to_numpy(),
+                "max3": grp.rolling(3, min_periods=1).max().to_numpy(),
+            }
+        )
+        return from_pandas_clean(out)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+@register(
+    "customers_without_orders",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_without_orders(sf_dir: str):
+    """ANTI JOIN — the join family's missing shape (inner: revenue_by_
+    priority; broadcast: customers_per_region; as-of / range: the click
+    ops): customers with no URGENT order (every customer has SOME order in
+    this corpus, so the probe side carries a predicate to keep the result
+    non-trivial). Both sides hash-bucket by custkey; the
+    probe side is pre-shrunk by a per-batch DISTINCT (map-side combine —
+    the shuffle carries unique keys per batch, not one row per order) and
+    the per-bucket verdict is one vectorized ``isin``. No broadcast of
+    either side, so the same plan holds when both tables are corpus-sized."""
+    from .tabular import from_pandas_clean, n_buckets
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    nb = n_buckets(size_bytes=cust.size_bytes() + orders.size_bytes())
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(
+                    pc.bit_wise_and(b["c_custkey"], pa.scalar(nb - 1, pa.int64())),
+                    pa.int64(),
+                ),
+                "key": pc.cast(b["c_custkey"], pa.int64()),
+                "c_name": b["c_name"],
+            }
+        )
+
+    def order_side(b: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))["o_custkey"]
+        )
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(nb - 1, pa.int64())), pa.int64()
+                ),
+                "key": pc.cast(keys, pa.int64()),
+                "c_name": pa.nulls(len(keys), pa.string()),
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        have = set(g.loc[g["c_name"].isna(), "key"])
+        keep = g[g["c_name"].notna() & ~g["key"].isin(have)]
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(keep["key"].to_numpy(), pa.int64()),
+                "c_name": pa.array(keep["c_name"].to_numpy(), pa.string()),
+            }
+        )
+
+    return (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("jb")
+        .map_groups(anti, batch_format="pandas")
+    )

@@ -34,6 +34,8 @@ ORACLE_SUBSET = [
     "doc_repetition",
     "pack_sequences",
     "doc_distinctive_terms",
+    "events_window_funcs",
+    "customers_without_orders",
     "dedup_exact_first",
     "media_meta",
     "knn_brute_cosine",
