@@ -635,3 +635,62 @@ def split_contamination(sf_dir: str):
         .groupby(["doc_id", "split"])
         .aggregate(Sum("one", alias_name="n_shared_grams"))
     )
+
+
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_STRIDE = 32  # overlap stride
+
+
+@register(
+    "doc_chunks",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    c AS (SELECT doc_id, t,
+                 CASE WHEN len(t) <= {CHUNK_TOKENS} THEN 0
+                      ELSE CAST(ceil(CAST(len(t) - {CHUNK_TOKENS} AS DOUBLE)
+                                     / {CHUNK_STRIDE}) AS BIGINT) END AS last_i
+          FROM toks)
+    SELECT doc_id,
+           unnest(range(0, last_i + 1)) AS chunk_id,
+           unnest(list_transform(range(0, last_i + 1),
+                    i -> array_to_string(
+                           t[i * {CHUNK_STRIDE} + 1 :
+                             i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')))
+             AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunks(sf_dir: str):
+    """Overlapping token-window chunking — the prep step for embedding /
+    retrieval indexing: each document explodes into 64-token
+    chunks at 32-token stride, the last chunk being the first
+    to reach the document's end (every token is covered, short docs emit
+    one chunk). Pure per-batch flat explosion — no shuffle, no state — so
+    it pipelines with downstream embedding actors; chunk_id is the in-doc
+    window index, deterministic at any block split."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        out_d, out_c, out_t = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = t.split(" ")
+            n = len(toks)
+            last_i = (
+                0
+                if n <= CHUNK_TOKENS
+                else -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE)
+            )
+            for i in range(last_i + 1):
+                s = i * CHUNK_STRIDE
+                out_d.append(d)
+                out_c.append(i)
+                out_t.append(" ".join(toks[s : s + CHUNK_TOKENS]))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "chunk_id": pa.array(out_c, pa.int64()),
+                "chunk_text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -36,6 +36,7 @@ ORACLE_SUBSET = [
     "doc_distinctive_terms",
     "events_window_funcs",
     "customers_without_orders",
+    "doc_chunks",
     "dedup_exact_first",
     "media_meta",
     "knn_brute_cosine",
