@@ -12,3 +12,30 @@ Nothing in this package calls ``ray.init()`` — the caller owns the session.
 """
 
 __version__ = "0.1.0"
+
+
+def _install_log_filters() -> None:
+    """Silence ONE known-benign Ray Data warning: sort/aggregate exchanges
+    materialize empty output partitions as zero-column blocks, and the
+    executor then logs "Operator produced a RefBundle with a different
+    schema ... new schema: ." once per empty partition (see Ray 2.49
+    ``streaming_executor_state.dedupe_schemas_with_validation``; reproduced
+    with a bare ``ds.sort`` on a tiny keyed dataset — it is not caused by
+    UDF output typing). The filter matches ONLY the empty-new-schema form;
+    a genuine schema divergence (non-empty differing schema) still warns."""
+    import logging
+
+    class _EmptyPartitionSchemaFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in msg
+                and "new schema: ." in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyPartitionSchemaFilter())
+
+
+_install_log_filters()

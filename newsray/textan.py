@@ -499,11 +499,26 @@ def doc_distinctive_terms(sf_dir: str):
         .aggregate(Sum("df_n", alias_name="df"))
     )
 
+    def _typed_empty_best(with_part: bool) -> pa.Table:
+        # typed empty Arrow block (b725db6 class): empty pandas object 'tok'
+        # would yield a schema-less RefBundle + a warning per empty group
+        cols = {
+            "doc_id": pa.array([], pa.int64()),
+            "tok": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+        if with_part:
+            cols = {"part": pa.array([], pa.int64()), **cols}
+        return pa.Table.from_pydict(cols)
+
     def bucket_best(g: pd.DataFrame) -> pa.Table:
         # one token bucket: tf rows + df rows (df rows have doc_id == -1)
         dfs = g[g["doc_id"] == -1]
         tfs = g[g["doc_id"] != -1]
         m = tfs.merge(dfs[["tok", "tf"]].rename(columns={"tf": "df"}), on="tok")
+        if len(m) == 0:
+            return _typed_empty_best(with_part=True)
         m["score"] = m["tf"].astype("float64") / m["df"].astype("float64")
         m = m.sort_values(
             ["doc_id", "score", "tok"], ascending=[True, False, True], kind="mergesort"
@@ -525,6 +540,15 @@ def doc_distinctive_terms(sf_dir: str):
     local_best = both.groupby("part").map_groups(bucket_best, batch_format="pandas")
 
     def final_best(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "top_term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
         g = g.copy()
         g["score"] = g["tf"].astype("float64") / g["df"].astype("float64")
         g = g.sort_values(
@@ -543,6 +567,21 @@ def hash_bucket(tok: str, nb: int) -> int:
 
 
 NGRAM_N = 8  # decontamination n-gram width
+
+GRAM_EXPANSION = 8  # exploded (gram-hex, doc, split) rows ≈ 8× the text bytes
+
+
+def contamination_buckets(size_bytes: int | None) -> int:
+    """Coarse gram-partition count for `split_contamination`, sized to the
+    DATA rather than a constant (the old ``& 255`` meant each part_group
+    held ~1/256 of ALL distinct (gram, doc) rows regardless of corpus
+    size). Each token of pruned text becomes a ~50-byte (32-hex gram key,
+    doc_id, split) row after the explode, so the group-memory axis is the
+    post-explode volume: text bytes × GRAM_EXPANSION through the same
+    ``n_buckets`` rule every other exchange uses."""
+    from .tabular import n_buckets
+
+    return n_buckets(size_bytes=(size_bytes or 0) * GRAM_EXPANSION)
 
 
 @register(
@@ -589,6 +628,7 @@ def split_contamination(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
+    nb = contamination_buckets(ds.size_bytes())
 
     def explode(b: pa.Table) -> pa.Table:
         out_g, out_d, out_s = [], [], []
@@ -607,7 +647,7 @@ def split_contamination(sf_dir: str):
             out_g.extend(grams)
             out_d.extend([d] * len(grams))
             out_s.extend([split] * len(grams))
-        part = [int(x[:8], 16) & 255 for x in out_g]  # coarse gram partition
+        part = [int(x[:8], 16) % nb for x in out_g]  # coarse gram partition
         return pa.Table.from_pydict(
             {
                 "part": pa.array(part, pa.int64()),
@@ -617,15 +657,20 @@ def split_contamination(sf_dir: str):
             }
         )
 
-    def part_group(g: pd.DataFrame) -> pd.DataFrame:
+    def part_group(g: pd.DataFrame) -> pa.Table:
         # one coarse partition = many grams: vectorized membership, no
         # per-gram Python. Members are DISTINCT (doc, gram) by construction.
+        # Output is a TYPED Arrow block even when empty — an untyped empty
+        # pandas frame makes the operator emit a schema-less RefBundle and
+        # Ray logs a schema-change warning per empty group (b725db6 class).
         train_g = g.loc[g["split"] == "train", "g"]
         hit = g[(g["split"] != "train") & g["g"].isin(set(train_g))]
-        return pd.DataFrame(
-            {"doc_id": hit["doc_id"].astype("int64"),
-             "split": hit["split"],
-             "one": np.ones(len(hit), dtype="int64")}
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(hit["doc_id"].astype("int64").values, pa.int64()),
+                "split": pa.array(hit["split"].astype(str).values if len(hit) else [], pa.string()),
+                "one": pa.array(np.ones(len(hit), dtype="int64"), pa.int64()),
+            }
         )
 
     return (

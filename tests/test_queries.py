@@ -242,3 +242,11 @@ def test_n_buckets_scales_with_data_size():
     assert 10_000_000 / g <= 20_000 and g & (g - 1) == 0
     assert emb_grid_buckets(1_000) == 8  # small corpora keep the floor
     assert emb_grid_buckets(1 << 20) > 8
+    # split_contamination's gram partition (VERDICT r3 #2: was a fixed 256)
+    from newsray.textan import GRAM_EXPANSION, contamination_buckets
+
+    cb_small = contamination_buckets(1)
+    cb_big = contamination_buckets(1024 * TARGET_GROUP_BYTES)
+    assert cb_big > cb_small and cb_big & (cb_big - 1) == 0
+    assert cb_big >= 1024 * GRAM_EXPANSION
+    assert contamination_buckets(None) == contamination_buckets(0)  # hint-less
