@@ -145,6 +145,29 @@ def crawl_fetch_log(sf_dir: str):
     )
 
 
+@register("crawl_refsites_articles", sql=golden_sql("crawl_refsites_articles"))
+def crawl_refsites_articles(sf_dir: str):
+    """The REAL-HTML fixture crawl (tests/fixtures/refsites: all ten
+    reference sites with their real CSS selectors — SURVEY §2.9) run through
+    the full distributed wave-loop pipeline, hash-diffed against the
+    sequential oracle's crawl of the same saved pages
+    (golden.golden_crawl_refsites_articles). This puts the selector engine +
+    the per-site variant matrix — the user-facing extension surface — behind
+    the driver gate; sf_dir-independent like the other crawl queries."""
+    key = ("refsites",)
+    if key not in _CRAWL_CACHE:
+        from .golden import REFSITES_DIR
+        from .pipeline import CrawlPipeline, PipelineConfig
+        from .policy import CrawlPolicy
+        from .synth import WebParams
+
+        cfg = PipelineConfig(
+            web_params=WebParams(fixture_dir=REFSITES_DIR), policy=CrawlPolicy()
+        )
+        _CRAWL_CACHE[key] = CrawlPipeline(cfg).run()
+    return _CRAWL_CACHE[key]["articles"]
+
+
 @register("crawl_day_groups", sql=golden_sql("crawl_day_groups"))
 def crawl_day_groups(sf_dir: str):
     """The reference's day-grouped per-site export (SURVEY K1/K2/O1/O2)

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = 8  # v7: + histogram quantiles; v8: data-derived grid B/G
+GOLDEN_VERSION = 9  # v8: data-derived grid B/G; v9: + refsites fixture crawl
 GOLDEN_ROOT = "/tmp/newsray_golden"
 SF_FIXED = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -461,6 +461,27 @@ def golden_crawl_fetch_log(sf_dir: str) -> pa.Table:
     )
 
 
+REFSITES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "refsites",
+)
+
+
+def golden_crawl_refsites_articles(sf_dir: str) -> pa.Table:
+    """§2.9 extension surface behind the driver gate: the sequential oracle
+    crawls the committed REAL-HTML fixture pack (ten reference sites, real
+    CSS selectors, 23 saved pages) through the same FixtureWeb the pipeline
+    uses — an independent single-process crawl of identical bytes."""
+    from .oracle import run_oracle
+    from .policy import CrawlPolicy
+    from .webfixture import FixtureWeb
+
+    web = FixtureWeb(REFSITES_DIR)
+    return _articles_table(run_oracle(web, CrawlPolicy()).articles)
+
+
 def golden_crawl_day_groups(sf_dir: str) -> pa.Table:
     """K1/K2/O1/O2 (day-grouped sink) behind the driver gate: an independent
     plain-dict recompute of the reference's save-time grouping — group by
@@ -526,6 +547,7 @@ GOLDENS = {
     "crawl_documents": golden_crawl_documents,
     "crawl_fetch_log": golden_crawl_fetch_log,
     "crawl_day_groups": golden_crawl_day_groups,
+    "crawl_refsites_articles": golden_crawl_refsites_articles,
 }
 
 

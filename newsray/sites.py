@@ -70,6 +70,12 @@ class SiteConfig:
     # regex parser to the selector engine (htmlsel.py) — "adding a real
     # site" is registering a SiteConfig with selectors, nothing else
     selectors: object | None = None
+    # True for sites registered from a fixture manifest (webfixture).
+    # The SYNTHETIC web's cross-host link pool must exclude these: a Ray
+    # worker that served a fixture crawl keeps the registration, and the
+    # synthetic corpus must render identically on every process no matter
+    # what it crawled before (synth.SyntheticWeb.listing_items).
+    fixture: bool = False
 
 
 SITES: dict[str, SiteConfig] = {}

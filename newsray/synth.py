@@ -340,7 +340,12 @@ class SyntheticWeb:
                 items.append(("javascript:void(0)", "광고 link", None))
                 continue
             if r < self.params.p_junk_href + self.params.p_cross_host:
-                other = [s for s in SITES.values() if s.site != cfg.site]
+                # fixture-registered sites are excluded: the synthetic corpus
+                # must not depend on what a reused worker process crawled
+                # earlier (sites.SiteConfig.fixture)
+                other = [
+                    s for s in SITES.values() if s.site != cfg.site and not s.fixture
+                ]
                 ocfg = other[rng.randrange(len(other))]
                 oaid = self._aid(ocfg, 0, 1, rng.randrange(4))
                 items.append((f"https://{ocfg.host}/art/{oaid}", self.title(ocfg, oaid), oaid))

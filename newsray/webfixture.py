@@ -40,6 +40,7 @@ def _register_site(d: dict) -> SiteConfig:
         d["selectors"] = SelectorSet(**sel)
     d["categories"] = tuple(d.get("categories", ()))
     d["time_formats"] = tuple(d.get("time_formats", ()))
+    d["fixture"] = True  # keep the synthetic corpus invariant to fixtures
     cfg = SiteConfig(**d)
     taken = {r for s, r in SITE_RANK.items() if s != cfg.site}
     if rank in taken:
