@@ -139,11 +139,23 @@ def run_once() -> dict:
     )
     CrawlPipeline(warm_cfg).run()
 
-    cfg = bench_crawl_config()
-    t0 = time.time()
-    res = CrawlPipeline(cfg).run(streaming_finalize=True)
-    n_docs = int(res["documents_ds"].count())  # consume the streaming output
-    crawl_sec = time.time() - t0
+    # MEDIAN of k crawl samples in one warmed session (VERDICT r3 #6): the
+    # host throttles ±15-20% run to run, so a single draw measures the VM,
+    # not the engine — r2→r3 the driver's single sample swung 40.6→51.2 s on
+    # a strictly faster build. The crawl is deterministic, so pages/docs are
+    # identical across samples; only the wall varies. Scaling sub-runs keep
+    # k=1 (they already take the min of interleaved samples).
+    import statistics
+
+    k = max(1, int(os.environ.get("BENCH_CRAWL_SAMPLES", "3")))
+    crawl_samples: list[float] = []
+    for _ in range(k):
+        cfg = bench_crawl_config()
+        t0 = time.time()
+        res = CrawlPipeline(cfg).run(streaming_finalize=True)
+        n_docs = int(res["documents_ds"].count())  # consume the streaming output
+        crawl_samples.append(time.time() - t0)
+    crawl_sec = float(statistics.median(crawl_samples))
     pages = int(sum(m.get("fetched", 0) for m in res["wave_metrics"]))
     frontier_urls = int(sum(m.get("candidates", 0) for m in res["wave_metrics"]))
 
@@ -158,9 +170,10 @@ def run_once() -> dict:
             qtimes[name] = round(time.time() - t0, 3)
 
     out = {
-        "metric": "crawl fetch+extract wall time (bench synthetic web) + operator suite",
+        "metric": f"crawl fetch+extract wall time (bench synthetic web; median of {k}) + operator suite",
         "value": round(crawl_sec, 3),
         "unit": "sec",
+        "crawl_samples_sec": [round(s, 3) for s in crawl_samples],
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NCPUS,
@@ -178,8 +191,11 @@ def run_once() -> dict:
     return out
 
 
-def run_sub(ncpu: int, crawl_only: bool = True) -> dict:
+def run_sub(ncpu: int, crawl_only: bool = True, samples: int = 1) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_NO_RETRY="1")
+    # scaling sub-runs stay single-sample: --scaling interleaves whole
+    # sub-processes and takes the min per side, which subsumes the median
+    env.setdefault("BENCH_CRAWL_SAMPLES", str(samples))
     if crawl_only:
         env["BENCH_CRAWL_ONLY"] = "1"
     else:
@@ -285,7 +301,11 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.stderr.flush()
-        out = run_sub(NCPUS, crawl_only=bool(os.environ.get("BENCH_CRAWL_ONLY")))
+        out = run_sub(
+            NCPUS,
+            crawl_only=bool(os.environ.get("BENCH_CRAWL_ONLY")),
+            samples=max(1, int(os.environ.get("BENCH_CRAWL_SAMPLES", "3"))),
+        )
     print(json.dumps(out))
     sys.stdout.flush()
 
