@@ -137,7 +137,9 @@ def run_once() -> dict:
         # extra blocks only add per-task overhead (32 vCPUs are SMT threads)
         repartition_blocks=4 * min(NCPUS, 16),
     )
-    CrawlPipeline(warm_cfg).run()
+    warm_pipe = CrawlPipeline(warm_cfg)
+    warm_pipe.run()
+    warm_pipe.shutdown()
 
     # MEDIAN of k crawl samples in one warmed session (VERDICT r3 #6): the
     # host throttles ±15-20% run to run, so a single draw measures the VM,
@@ -151,10 +153,14 @@ def run_once() -> dict:
     crawl_samples: list[float] = []
     for _ in range(k):
         cfg = bench_crawl_config()
+        pipe = CrawlPipeline(cfg)
         t0 = time.time()
-        res = CrawlPipeline(cfg).run(streaming_finalize=True)
+        res = pipe.run(streaming_finalize=True)
         n_docs = int(res["documents_ds"].count())  # consume the streaming output
         crawl_samples.append(time.time() - t0)
+        # actor pools stay reachable through dataset lineage: kill them so
+        # samples don't accumulate pools (untimed — teardown isn't crawl)
+        pipe.shutdown()
     crawl_sec = float(statistics.median(crawl_samples))
     pages = int(sum(m.get("fetched", 0) for m in res["wave_metrics"]))
     frontier_urls = int(sum(m.get("candidates", 0) for m in res["wave_metrics"]))

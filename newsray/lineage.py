@@ -1,8 +1,11 @@
 """Lineage/metrics collector actor (north_rule: per-partition lineage +
-metrics). Stage functions push ONE batched increment RPC per batch and
-``ray.get`` it before returning, so by the time the enclosing execution's
-materialize barrier completes every increment is durable — the driver's
-``wave_totals`` read cannot race ahead of in-flight counts."""
+metrics). Stage functions push ONE batched increment RPC per batch,
+FIRE-AND-FORGET: a synchronous ``ray.get`` serialized every wave task
+through this one actor's queue (measured ~30% of crawl wall at bench
+scale). Counters are diagnostics; the wave loop's terminate-on-empty
+decision confirms zero with an exact data-plane count, and ``run()``
+re-reads the totals after the last barrier so the recorded wave_metrics
+cannot under-report from delivery lag (pipeline.py)."""
 
 from __future__ import annotations
 
