@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "doc_repetition",
     "pack_sequences",
     "doc_distinctive_terms",
+    "bm25_topk",
+    "doc_bigram_lm_score",
+    "doc_token_entropy",
 ]
 
 

@@ -35,6 +35,7 @@ def load_all() -> None:
         cleanse,
         dedup_ops,
         docspans,
+        lexical,
         multimodal,
         relops,
         sketch,

@@ -37,6 +37,9 @@ ORACLE_SUBSET = [
     "events_window_funcs",
     "customers_without_orders",
     "doc_chunks",
+    "bm25_topk",
+    "doc_bigram_lm_score",
+    "doc_token_entropy",
     "dedup_exact_first",
     "media_meta",
     "knn_brute_cosine",
