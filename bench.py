@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "bm25_topk",
     "doc_bigram_lm_score",
     "doc_token_entropy",
+    "exact_substring_dups",
+    "events_rollup",
 ]
 
 

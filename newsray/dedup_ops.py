@@ -808,3 +808,104 @@ def dedup_minhash_clusters(sf_dir: str):
     documents table; golden-checked against a sequential union-find
     (golden.py). See `pairs_to_clusters` for the distributed plan."""
     return pairs_to_clusters(dedup_minhash_lsh(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication (the ExactSubstr detection pass)
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 16  # duplicated-window width, tokens
+
+
+@register(
+    "exact_substring_dups",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (SELECT doc_id,
+                 unnest(range(1, len(t) - {SUBSTR_W} + 2)) AS pos,
+                 unnest(list_transform(range(1, len(t) - {SUBSTR_W} + 2),
+                          i -> md5(array_to_string(t[i:i+{SUBSTR_W - 1}], ' '))))
+                   AS g
+          FROM toks WHERE len(t) >= {SUBSTR_W}),
+    dg AS (SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT doc_id, COUNT(*) AS n_dup_windows
+    FROM w JOIN dg USING (g)
+    GROUP BY doc_id
+    """,
+)
+def exact_substring_dups(sf_dir: str):
+    """Exact-substring duplication detection — the detection half of the
+    suffix-array dedup family (ExactSubstr, "Deduplicating Training Data
+    Makes Language Models Better"): per document, how many of its stride-1
+    SUBSTR_W(=16)-token windows also occur verbatim in ANOTHER document.
+    Differs from `split_contamination` (distinct grams, one split's view)
+    in counting every duplicated POSITION — the quantity a removal pass
+    would cut — and from MinHash in being exact, not probabilistic.
+
+    Distributed shape (split_contamination's two-exchange plan): explode
+    to (gram-md5, doc_id, pos-count) rows per batch; a COARSE data-aware
+    gram partition co-locates each gram's occurrences (per-gram logic
+    inside a partition is one vectorized transform — no per-gram groups);
+    grams held by ≥2 DISTINCT docs emit per-doc window counts, and a tiny
+    keyed sum totals them. A removal pass would be one more map joining
+    the flagged (doc, pos) spans back against the text — detection is the
+    all-to-all part. The md5 hex key mirrors the oracle byte-for-byte; at
+    10^10 scale it becomes a 64-bit gram hash with the same plan.
+    """
+    from ray.data.aggregate import Sum
+
+    from .tabular import from_pandas_clean
+    from .textan import contamination_buckets
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    nb = contamination_buckets(ds.size_bytes())
+
+    def explode(b: pa.Table) -> pa.Table:
+        out_g, out_d, out_n = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = t.split(" ")
+            if len(toks) < SUBSTR_W:
+                continue
+            # per-doc map-side combine: count positions per DISTINCT gram
+            counts: dict[str, int] = {}
+            for i in range(len(toks) - SUBSTR_W + 1):
+                hx = hashlib.md5(
+                    " ".join(toks[i : i + SUBSTR_W]).encode("utf-8")
+                ).hexdigest()
+                counts[hx] = counts.get(hx, 0) + 1
+            out_g.extend(counts.keys())
+            out_d.extend([d] * len(counts))
+            out_n.extend(counts.values())
+        part = [int(x[:8], 16) % nb for x in out_g]
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array(part, pa.int64()),
+                "g": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "npos": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def part_group(g: pd.DataFrame) -> pa.Table:
+        # one coarse partition = many grams; rows are DISTINCT (gram, doc)
+        # with per-doc position counts, so "≥2 docs hold this gram" is a
+        # vectorized per-gram row count
+        if len(g) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        ndocs = g.groupby("g")["doc_id"].transform("size")
+        hit = g[ndocs >= 2]
+        agg = hit.groupby("doc_id", sort=False)["npos"].sum().reset_index(name="pn")
+        return from_pandas_clean(agg.astype({"doc_id": "int64", "pn": "int64"}))
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_group, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("pn", alias_name="n_dup_windows"))
+    )

@@ -894,3 +894,175 @@ def customers_without_orders(sf_dir: str):
         .groupby("jb")
         .map_groups(anti, batch_format="pandas")
     )
+
+
+@register(
+    "customers_with_urgent_orders",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_with_urgent_orders(sf_dir: str):
+    """SEMI JOIN — the join family's last shape (inner / broadcast / as-of /
+    range / anti are elsewhere): customers having ≥1 URGENT order, each
+    emitted ONCE no matter how many orders match (the semi-vs-inner
+    distinction). Same no-broadcast plan as `customers_without_orders`:
+    both sides hash-bucket by custkey, the probe side pre-shrunk by a
+    per-batch DISTINCT, one vectorized ``isin`` per bucket — only the
+    verdict polarity differs."""
+    from .tabular import n_buckets
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    nb = n_buckets(size_bytes=cust.size_bytes() + orders.size_bytes())
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(
+                    pc.bit_wise_and(b["c_custkey"], pa.scalar(nb - 1, pa.int64())),
+                    pa.int64(),
+                ),
+                "key": pc.cast(b["c_custkey"], pa.int64()),
+                "c_name": b["c_name"],
+            }
+        )
+
+    def order_side(b: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))["o_custkey"]
+        )
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(nb - 1, pa.int64())), pa.int64()
+                ),
+                "key": pc.cast(keys, pa.int64()),
+                "c_name": pa.nulls(len(keys), pa.string()),
+            }
+        )
+
+    def semi(g: pd.DataFrame) -> pa.Table:
+        have = set(g.loc[g["c_name"].isna(), "key"])
+        keep = g[g["c_name"].notna() & g["key"].isin(have)]
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(keep["key"].to_numpy(), pa.int64()),
+                "c_name": pa.array(keep["c_name"].to_numpy(), pa.string()),
+            }
+        )
+
+    return (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("jb")
+        .map_groups(semi, batch_format="pandas")
+    )
+
+
+@register(
+    "events_rollup",
+    sql="""
+    WITH base AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id
+                  FROM events)
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(day, 'ALL') AS day,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM base
+    GROUP BY ROLLUP (event_type, day)
+    """,
+)
+def events_rollup(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate — (type, day), (type), () levels in
+    one result, each with an event count AND a distinct-user count (the
+    aggregate that is NOT summable from finer levels). Hierarchical plan:
+    the raw table is touched ONCE (map-side (type, day, user) value_counts),
+    then each coarser level derives from the previous level's already-
+    distinct rows — triples → (type, user) pairs → users — so the three
+    extra exchanges shuffle strictly shrinking distinct-key tables, never
+    events. 'ALL' stands in for the rolled-up key (mirrors the oracle's
+    COALESCE) to keep the union single-typed."""
+    from ray.data.aggregate import Count, Sum
+
+    from .tabular import from_pandas_clean
+
+    ds = read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        day = b["ts"].dt.strftime("%Y-%m-%d")
+        c = (
+            pd.DataFrame(
+                {"event_type": b["event_type"], "day": day, "user_id": b["user_id"]}
+            )
+            .groupby(["event_type", "day", "user_id"], sort=False)
+            .size()
+            .rename("pn")
+            .reset_index()
+        )
+        return from_pandas_clean(c)
+
+    # materialized: three levels consume each table, and both are already
+    # distinct-key-sized (≤ types×days×users resp. types×users) — without
+    # this the raw-events scan would re-run once per consuming branch
+    triples = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day", "user_id"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .materialize()
+    )
+
+    lvl2 = triples.groupby(["event_type", "day"]).aggregate(
+        Sum("n", alias_name="n_events"), Count(alias_name="n_users")
+    )
+
+    pairs = triples.groupby(["event_type", "user_id"]).aggregate(
+        Sum("n", alias_name="n")
+    ).materialize()
+    lvl1 = pairs.groupby("event_type").aggregate(
+        Sum("n", alias_name="n_events"), Count(alias_name="n_users")
+    )
+
+    users = pairs.groupby("user_id").aggregate(Sum("n", alias_name="n"))
+    total = users.aggregate(Sum("n", alias_name="n_events"), Count(alias_name="n_users"))
+
+    def shape2(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": b["event_type"],
+                "day": b["day"],
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+            }
+        )
+
+    def shape1(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": b["event_type"],
+                "day": pa.array(["ALL"] * b.num_rows, pa.string()),
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    lvl0 = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_type": pa.array(["ALL"], pa.string()),
+                "day": pa.array(["ALL"], pa.string()),
+                "n_events": pa.array([int(total["n_events"])], pa.int64()),
+                "n_users": pa.array([int(total["n_users"])], pa.int64()),
+            }
+        )
+    )
+
+    return (
+        lvl2.map_batches(shape2, batch_format="pyarrow")
+        .union(lvl1.map_batches(shape1, batch_format="pyarrow"))
+        .union(lvl0)
+    )

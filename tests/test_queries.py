@@ -40,6 +40,9 @@ ORACLE_SUBSET = [
     "bm25_topk",
     "doc_bigram_lm_score",
     "doc_token_entropy",
+    "customers_with_urgent_orders",
+    "events_rollup",
+    "exact_substring_dups",
     "dedup_exact_first",
     "media_meta",
     "knn_brute_cosine",
