@@ -114,7 +114,16 @@ def run_once() -> dict:
     import ray
 
     ray.init(
-        address="local", num_cpus=NCPUS, include_dashboard=False, logging_level="ERROR"
+        address="local",
+        num_cpus=NCPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+        # the driver contract is ONE parseable JSON line on stdout: raylet
+        # advisories (e.g. "N worker processes have been started") are
+        # relayed by the log monitor onto the driver's stdout and have
+        # landed in front of the JSON line — keep worker/raylet logs off
+        # the driver entirely (they still go to /tmp/ray session logs)
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

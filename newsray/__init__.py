@@ -21,8 +21,16 @@ def _install_log_filters() -> None:
     schema ... new schema: ." once per empty partition (see Ray 2.49
     ``streaming_executor_state.dedupe_schemas_with_validation``; reproduced
     with a bare ``ds.sort`` on a tiny keyed dataset — it is not caused by
-    UDF output typing). The filter matches ONLY the empty-new-schema form;
-    a genuine schema divergence (non-empty differing schema) still warns."""
+    UDF output typing). Empty ranges arise whenever a sort-exchange has
+    more output partitions than distinct keys (any coarse hash-bucket
+    ``groupby(part).map_groups``), and the zero-column block is built by
+    Ray's ``merge_sorted_blocks`` / ``_empty_table()`` — user code never
+    sees it. Two spellings, by reduce block type: Arrow empties print as
+    "new schema: ." and pandas empties (``map_groups(batch_format=
+    "pandas")`` normalizes the reduce to pandas blocks) print as
+    "new schema: PandasBlockSchema(names=[], types=[])". The filter
+    matches ONLY these zero-column forms; a genuine schema divergence
+    (non-empty differing schema) still warns."""
     import logging
 
     class _EmptyPartitionSchemaFilter(logging.Filter):
@@ -30,7 +38,10 @@ def _install_log_filters() -> None:
             msg = record.getMessage()
             return not (
                 "RefBundle with a different schema" in msg
-                and "new schema: ." in msg
+                and (
+                    "new schema: ." in msg
+                    or "new schema: PandasBlockSchema(names=[], types=[])" in msg
+                )
             )
 
     logging.getLogger(

@@ -133,9 +133,9 @@ def events_daily_counts(sf_dir: str):
     ds = read(sf_dir, "events", ["ts"])
 
     def partial(b: pd.DataFrame) -> pa.Table:
-        from .tabular import from_pandas_clean
+        from .tabular import day_str, from_pandas_clean
 
-        c = b["ts"].dt.strftime("%Y-%m-%d").value_counts()
+        c = pd.Series(day_str(b["ts"])).value_counts()
         return from_pandas_clean(pd.DataFrame({"day": c.index, "partial_n": c.to_numpy()}))
 
     from ray.data.aggregate import Sum
@@ -324,16 +324,26 @@ def revenue_by_priority(sf_dir: str):
         lineitem.map_batches(prep_items, batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        # typed Arrow out (b725db6 class): a pandas return would make the
+        # downstream aggregate run on pandas blocks, whose empty partitions
+        # carry no schema and trip the executor's schema-divergence warning
         o = g[g["side"] == "o"][["key", "o_orderpriority"]]
         l = g[g["side"] == "l"][["key", "rev_e4", "n_rows"]]
         m = l.merge(o, on="key", how="inner")
-        m["rev_e4"] = m["rev_e4"].astype("int64")
-        m["n_rows"] = m["n_rows"].astype("int64")
         agg = m.groupby("o_orderpriority", as_index=False).agg(
             partial_rev=("rev_e4", "sum"), partial_n=("n_rows", "sum")
         )
-        return agg
+        return pa.Table.from_pydict(
+            {
+                "o_orderpriority": pa.array(
+                    agg["o_orderpriority"].astype(str).values if len(agg) else [],
+                    pa.string(),
+                ),
+                "partial_rev": pa.array(agg["partial_rev"].to_numpy(np.int64), pa.int64()),
+                "partial_n": pa.array(agg["partial_n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
 
     out = (
         both.groupby("bucket")
@@ -756,8 +766,10 @@ def events_type_day_pivot(sf_dir: str):
     ds = read(sf_dir, "events", ["ts", "event_type"])
 
     def partial(b: pd.DataFrame) -> pa.Table:
-        day = b["ts"].dt.strftime("%Y-%m-%d")
-        ct = pd.crosstab(day, b["event_type"])
+        from .tabular import day_str
+
+        day = pd.Series(day_str(b["ts"]), name="day")
+        ct = pd.crosstab(day, b["event_type"].reset_index(drop=True))
         out = pd.DataFrame({"day": ct.index.astype(str)})
         for t in EVENT_TYPES:
             out[f"p_{t}"] = (
@@ -978,57 +990,92 @@ def customers_with_urgent_orders(sf_dir: str):
 def events_rollup(sf_dir: str):
     """ROLLUP / grouping-sets aggregate — (type, day), (type), () levels in
     one result, each with an event count AND a distinct-user count (the
-    aggregate that is NOT summable from finer levels). Hierarchical plan:
-    the raw table is touched ONCE (map-side (type, day, user) value_counts),
-    then each coarser level derives from the previous level's already-
-    distinct rows — triples → (type, user) pairs → users — so the three
-    extra exchanges shuffle strictly shrinking distinct-key tables, never
-    events. 'ALL' stands in for the rolled-up key (mirrors the oracle's
-    COALESCE) to keep the union single-typed."""
-    from ray.data.aggregate import Count, Sum
+    aggregate that is NOT summable from finer levels). Single-exchange plan:
+    because n_users = COUNT(DISTINCT user_id), partitioning by hash(user)
+    makes every level's distinct-user count exact WITHIN a partition and
+    SUMMABLE across partitions (each user lives in exactly one). So: one
+    map-side (type, day, user) count partial, ONE shuffle on the user
+    bucket, all three rollup levels computed vectorized per partition, then
+    a tiny keyed sum over ≤ types×days + types + 1 rows. (A previous
+    version shuffled five times — triples, pairs, and once per level — and
+    was ~7× slower at sf0.1; the rollup itself never needs events
+    co-located by (type, day), only by user.)"""
+    from ray.data.aggregate import Sum
 
-    from .tabular import from_pandas_clean
+    from .tabular import from_pandas_clean, n_buckets
 
     ds = read(sf_dir, "events", ["ts", "event_type", "user_id"])
+    B = n_buckets(size_bytes=ds.size_bytes())
 
     def partial(b: pd.DataFrame) -> pa.Table:
-        day = b["ts"].dt.strftime("%Y-%m-%d")
+        from .tabular import day_str
+
         c = (
             pd.DataFrame(
-                {"event_type": b["event_type"], "day": day, "user_id": b["user_id"]}
+                {
+                    "event_type": b["event_type"].to_numpy(),
+                    "day": day_str(b["ts"]),
+                    "user_id": b["user_id"].to_numpy(),
+                }
             )
             .groupby(["event_type", "day", "user_id"], sort=False)
             .size()
             .rename("pn")
             .reset_index()
         )
+        c["part"] = c["user_id"] % B
         return from_pandas_clean(c)
 
-    # materialized: three levels consume each table, and both are already
-    # distinct-key-sized (≤ types×days×users resp. types×users) — without
-    # this the raw-events scan would re-run once per consuming branch
-    triples = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "day", "user_id"])
-        .aggregate(Sum("pn", alias_name="n"))
-        .materialize()
-    )
+    def rollup_bucket(g: pd.DataFrame) -> pa.Table:
+        # g holds ALL rows of its users; typed Arrow out even when empty
+        # (b725db6 class) so no schema-less RefBundle leaves this stage.
+        if len(g) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.string()),
+                    "pe": pa.array([], pa.int64()),
+                    "pu": pa.array([], pa.int64()),
+                }
+            )
+        t = (
+            g.groupby(["event_type", "day", "user_id"], sort=False)["pn"]
+            .sum()
+            .reset_index()
+        )
+        lvl2 = (
+            t.groupby(["event_type", "day"], sort=False)
+            .agg(pe=("pn", "sum"), pu=("user_id", "nunique"))
+            .reset_index()
+        )
+        p = t.groupby(["event_type", "user_id"], sort=False)["pn"].sum().reset_index()
+        lvl1 = (
+            p.groupby("event_type", sort=False)
+            .agg(pe=("pn", "sum"), pu=("user_id", "nunique"))
+            .reset_index()
+        )
+        lvl1["day"] = "ALL"
+        lvl0 = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "day": ["ALL"],
+                "pe": [int(t["pn"].sum())],
+                "pu": [int(t["user_id"].nunique())],
+            }
+        )
+        out = pd.concat(
+            [lvl2, lvl1[["event_type", "day", "pe", "pu"]], lvl0], ignore_index=True
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out["event_type"].astype(str).values, pa.string()),
+                "day": pa.array(out["day"].astype(str).values, pa.string()),
+                "pe": pa.array(out["pe"].to_numpy(np.int64), pa.int64()),
+                "pu": pa.array(out["pu"].to_numpy(np.int64), pa.int64()),
+            }
+        )
 
-    lvl2 = triples.groupby(["event_type", "day"]).aggregate(
-        Sum("n", alias_name="n_events"), Count(alias_name="n_users")
-    )
-
-    pairs = triples.groupby(["event_type", "user_id"]).aggregate(
-        Sum("n", alias_name="n")
-    ).materialize()
-    lvl1 = pairs.groupby("event_type").aggregate(
-        Sum("n", alias_name="n_events"), Count(alias_name="n_users")
-    )
-
-    users = pairs.groupby("user_id").aggregate(Sum("n", alias_name="n"))
-    total = users.aggregate(Sum("n", alias_name="n_events"), Count(alias_name="n_users"))
-
-    def shape2(b: pa.Table) -> pa.Table:
+    def final(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
                 "event_type": b["event_type"],
@@ -1038,31 +1085,11 @@ def events_rollup(sf_dir: str):
             }
         )
 
-    def shape1(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "event_type": b["event_type"],
-                "day": pa.array(["ALL"] * b.num_rows, pa.string()),
-                "n_events": pc.cast(b["n_events"], pa.int64()),
-                "n_users": pc.cast(b["n_users"], pa.int64()),
-            }
-        )
-
-    import ray.data as rd
-
-    lvl0 = rd.from_arrow(
-        pa.Table.from_pydict(
-            {
-                "event_type": pa.array(["ALL"], pa.string()),
-                "day": pa.array(["ALL"], pa.string()),
-                "n_events": pa.array([int(total["n_events"])], pa.int64()),
-                "n_users": pa.array([int(total["n_users"])], pa.int64()),
-            }
-        )
-    )
-
     return (
-        lvl2.map_batches(shape2, batch_format="pyarrow")
-        .union(lvl1.map_batches(shape1, batch_format="pyarrow"))
-        .union(lvl0)
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(rollup_bucket, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("pe", alias_name="n_events"), Sum("pu", alias_name="n_users"))
+        .map_batches(final, batch_format="pyarrow")
     )

@@ -64,7 +64,9 @@ def approx_distinct_users_daily(sf_dir: str):
     ds = read(sf_dir, "events", ["ts", "user_id"])
 
     def partial(b: pd.DataFrame) -> pa.Table:
-        day = b["ts"].dt.strftime("%Y-%m-%d")
+        from .tabular import day_str
+
+        day = pd.Series(day_str(b["ts"]), index=b.index)
         out_day, out_regs = [], []
         for d, g in b.groupby(day, sort=True):
             out_day.append(str(d))
@@ -169,7 +171,9 @@ def approx_value_quantiles_daily(sf_dir: str):
     ds = read(sf_dir, "events", ["ts", "value"])
 
     def partial(b: pd.DataFrame) -> pa.Table:
-        day = b["ts"].dt.strftime("%Y-%m-%d")
+        from .tabular import day_str
+
+        day = pd.Series(day_str(b["ts"]), index=b.index)
         out_day, out_counts = [], []
         for d, g in b.groupby(day, sort=True):
             out_day.append(str(d))
