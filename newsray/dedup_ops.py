@@ -233,10 +233,17 @@ def minhash_pairs_ds(ds, size_bytes: int | None = None):
         """One coarse partition = many LSH buckets: sub-group in pandas and
         emit each bucket's candidate pairs — map_groups over millions of
         1-row buckets is the Ray anti-pattern this avoids. Pairs only; the
-        text joins back downstream."""
+        text joins back downstream. Almost every bucket holds ONE doc, so
+        the vectorized size prefilter drops them before the Python pair
+        loop ever runs — iterating the singleton groups in pandas was
+        ~125 ms per partition (7.9 s of remote wall at sf0.1), the loop
+        over actual collision buckets is microseconds."""
+        d = g.drop_duplicates(["band_hash", "doc_id"])
+        cnt = d.groupby("band_hash", sort=False)["doc_id"].transform("size")
+        d = d[cnt >= 2]
         out_a, out_b = [], []
-        for _, sub in g.groupby("band_hash", sort=True):
-            ids = np.sort(sub["doc_id"].unique())
+        for _, sub in d.groupby("band_hash", sort=True):
+            ids = np.sort(sub["doc_id"].to_numpy())
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(int(ids[i]))

@@ -457,13 +457,13 @@ def doc_distinctive_terms(sf_dir: str):
     ties broken by term. Distributed plan, sized for a corpus-scale vocab:
     (1) DF by map-side combine — each doc lives in exactly one batch, so
     per-batch distinct-doc counts per token sum to the global df; (2) tf
-    rows hash-bucketed BY TOKEN meet their df row in one groupby — a
-    bucketed hash join, no vocab broadcast; (3) inside each token bucket a
+    rows hash-bucketed BY TOKEN meet the df PARTIALS in one groupby — a
+    bucketed hash join, no vocab broadcast; the global df is the in-bucket
+    sum of the partials (every row of a token shares the bucket), so no
+    separate df exchange exists; (3) inside each token bucket a
     vectorized local argmax emits ≤1 row per (doc, bucket) — the combiner —
     so the final regroup BY DOC carries ≤buckets rows per doc, not one per
     term occurrence."""
-    from ray.data.aggregate import Sum
-
     from .tabular import from_pandas_clean, n_buckets
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
@@ -511,24 +511,26 @@ def doc_distinctive_terms(sf_dir: str):
 
     def df_partial(b: pa.Table) -> pa.Table:
         # each doc lives in exactly one batch → per-batch distinct-doc
-        # counts per token sum to the global df
+        # counts per token sum to the global df; emitted directly in the
+        # union row shape (doc_id == -1 tags a df-partial row) so the only
+        # exchange these rows ever see is the token-bucket join, where the
+        # in-bucket sum completes them
         distinct = _exploded_pairs(b).group_by(["doc_id", "tok"]).aggregate([])
         vc = distinct["tok"].combine_chunks().value_counts()
         toks = vc.field("values")
         return pa.Table.from_pydict(
             {
                 "part": _tok_buckets(toks),
+                "doc_id": pa.array(
+                    np.full(len(toks), -1, dtype="int64"), pa.int64()
+                ),
                 "tok": toks,
-                "df_n": vc.field("counts"),
+                "tf": vc.field("counts").cast(pa.int64()),
             }
         )
 
     tf = ds.map_batches(tf_rows, batch_format="pyarrow")
-    df = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby(["part", "tok"])
-        .aggregate(Sum("df_n", alias_name="df"))
-    )
+    df = ds.map_batches(df_partial, batch_format="pyarrow")
 
     def _typed_empty_best(with_part: bool) -> pa.Table:
         # typed empty Arrow block (b725db6 class): empty pandas object 'tok'
@@ -544,10 +546,15 @@ def doc_distinctive_terms(sf_dir: str):
         return pa.Table.from_pydict(cols)
 
     def bucket_best(g: pd.DataFrame) -> pa.Table:
-        # one token bucket: tf rows + df rows (df rows have doc_id == -1)
-        dfs = g[g["doc_id"] == -1]
+        # one token bucket: tf rows + df PARTIAL rows (doc_id == -1); every
+        # partial of a token lands here, so their sum is the global df
+        dfs = (
+            g.loc[g["doc_id"] == -1]
+            .groupby("tok", sort=False, as_index=False)["tf"]
+            .sum()
+        )
         tfs = g[g["doc_id"] != -1]
-        m = tfs.merge(dfs[["tok", "tf"]].rename(columns={"tf": "df"}), on="tok")
+        m = tfs.merge(dfs.rename(columns={"tf": "df"}), on="tok")
         if len(m) == 0:
             return _typed_empty_best(with_part=True)
         m["score"] = m["tf"].astype("float64") / m["df"].astype("float64")
@@ -557,17 +564,7 @@ def doc_distinctive_terms(sf_dir: str):
         m["part"] = (m["doc_id"] % nb).astype("int64")  # re-key by DOC for the regroup
         return from_pandas_clean(m[["part", "doc_id", "tok", "tf", "df"]])
 
-    def df_as_rows(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "part": b["part"],
-                "doc_id": pa.array([-1] * b.num_rows, pa.int64()),
-                "tok": b["tok"],
-                "tf": b["df"],
-            }
-        )
-
-    both = tf.union(df.map_batches(df_as_rows, batch_format="pyarrow"))
+    both = tf.union(df)
     local_best = both.groupby("part").map_groups(bucket_best, batch_format="pandas")
 
     def final_best(g: pd.DataFrame) -> pa.Table:
