@@ -231,7 +231,24 @@ def run_sub(ncpu: int, crawl_only: bool = True, samples: int = 1) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def _claim_stdout() -> "os.fdopen":
+    """Reserve the REAL stdout for the one JSON line the driver parses.
+
+    Ray's driver-side error listener prints GCS advisories (e.g. "N worker
+    processes have been started") straight to fd 1 from a background thread
+    regardless of ``log_to_driver=False`` (ray._private.worker.
+    listen_error_messages → print_to_stdstream). Duplicate the original fd 1,
+    then point fd 1 at stderr: every stray write — Ray's threads, C
+    extensions, anything — lands on stderr, and only the returned handle
+    reaches the driver's stdout capture."""
+    real = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(1, "w", buffering=1, closefd=False)
+    return os.fdopen(real, "w", buffering=1)
+
+
 def main() -> None:
+    json_out = _claim_stdout()
     if "--scaling" in sys.argv:
         # N and 4N parallelism levels. This VM exposes 32 SMT vCPUs but
         # delivers ~16 effective cores (measured: warm-pool CPU probe gives
@@ -304,9 +321,10 @@ def main() -> None:
                     "frontier_urls_per_sec_hi": r_hi["crawl_frontier_urls_per_sec"],
                     "scaling_efficiency": round(eff, 3),
                 }
-            )
+            ),
+            file=json_out,
         )
-        sys.stdout.flush()
+        json_out.flush()
         return
     try:
         out = run_once()
@@ -326,8 +344,8 @@ def main() -> None:
             crawl_only=bool(os.environ.get("BENCH_CRAWL_ONLY")),
             samples=max(1, int(os.environ.get("BENCH_CRAWL_SAMPLES", "3"))),
         )
-    print(json.dumps(out))
-    sys.stdout.flush()
+    print(json.dumps(out), file=json_out)
+    json_out.flush()
 
 
 if __name__ == "__main__":
