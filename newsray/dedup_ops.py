@@ -752,25 +752,31 @@ def pairs_to_clusters(pairs):
             }
         )
 
-    def attach_label(g: pd.DataFrame) -> pd.DataFrame:
+    def attach_label(g: pd.DataFrame) -> pa.Table:
+        # one nbr-hash bucket: edges pick up their neighbour's current
+        # label, then fold to ONE partial min per node — emitted directly
+        # in the union row shape (k, node=None, label, bucket-by-node), so
+        # the only thing the next exchange sees is O(nodes) partials, and
+        # no native per-key Min aggregate exists in the round
         lmap = dict(zip(g.loc[g["node"].isna(), "k"], g.loc[g["node"].isna(), "label"]))
-        from .tabular import from_pandas_clean
-
         e = g[g["node"].notna()]
-        return from_pandas_clean(pd.DataFrame(
-            {
-                "node": e["node"].astype("int64"),
-                "cand": e["k"].map(lmap).astype("int64"),
-            }
-        ))
-
-    def min_side(b: pa.Table) -> pa.Table:
+        part = (
+            pd.DataFrame(
+                {
+                    "node": e["node"].astype("int64"),
+                    "cand": e["k"].map(lmap).astype("int64"),
+                }
+            )
+            .groupby("node", as_index=False)["cand"]
+            .min()
+        )
+        nodes = part["node"].to_numpy(np.int64)
         return pa.Table.from_pydict(
             {
-                "k": b["node"],
-                "node": pa.nulls(b.num_rows, pa.int64()),
-                "label": b["m"],
-                "bucket": pc.cast(pc.bit_wise_and(b["node"], pa.scalar(B - 1)), pa.int64()),
+                "k": pa.array(nodes, pa.int64()),
+                "node": pa.nulls(len(part), pa.int64()),
+                "label": pa.array(part["cand"].to_numpy(np.int64), pa.int64()),
+                "bucket": pa.array(nodes & (B - 1), pa.int64()),
             }
         )
 
@@ -797,12 +803,9 @@ def pairs_to_clusters(pairs):
             .union(labels.map_batches(label_side, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(attach_label, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="m"))
         )
         labels = (
-            nbr_min.map_batches(min_side, batch_format="pyarrow")
-            .union(labels.map_batches(label_side, batch_format="pyarrow"))
+            nbr_min.union(labels.map_batches(label_side, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(merge_min, batch_format="pandas")
             .repartition(P)  # keep round block count flat (see above)

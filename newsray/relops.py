@@ -496,19 +496,56 @@ def hourly_user_windows(sf_dir: str):
 )
 def user_session_counts(sf_dir: str):
     """Session windows (30-min inactivity gap), the canonical stateful
-    streaming op: per-user ordered scan inside map_groups. Ordering
-    assumption: (ts, event_id) totally orders a user's events."""
-    ds = read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    streaming op. Ordering assumption: (ts, event_id) totally orders a
+    user's events.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff()
-        new_s = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new_s.sum())]}
+    ONE coarse hash-bucket shuffle (a per-USER map_groups would pay the
+    per-group pandas slice/convert overhead once per user — ruinous at
+    10^9 users), then a fully vectorized in-bucket scan: sort the bucket
+    by (user, ts, event_id) once, a session starts wherever the user
+    changes or the gap exceeds 30 min, and the per-user session count is
+    one value_counts over the start flags."""
+    from .tabular import from_pandas_clean, n_buckets
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    B = n_buckets(size_bytes=ds.size_bytes())
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "part", pc.cast(pc.bit_wise_and(b["user_id"], pa.scalar(B - 1)), pa.int64())
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(len(g), dtype="int64")
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        starts = new_user | (gap > 30 * 60 * 1_000_000)
+        uniq, counts = np.unique(u[starts], return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "n_sessions": pa.array(counts.astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 @register(
