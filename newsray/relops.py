@@ -1012,6 +1012,85 @@ def customers_with_urgent_orders(sf_dir: str):
 
 
 @register(
+    "customer_order_counts",
+    sql="""
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER JOIN + zero-fill aggregate — the join family's outer
+    shape (inner / broadcast / as-of / range / anti / semi are elsewhere):
+    every customer with their order count, INCLUDING the zero-order
+    customers an inner join would drop. Same no-broadcast plan as the
+    anti/semi pair: the probe side folds to per-batch (custkey, n) count
+    partials (map-side combine — the shuffle carries one row per distinct
+    key per batch, not one per order), both sides hash-bucket by custkey,
+    and the per-bucket fold is one vectorized partial sum + left merge
+    with fillna(0)."""
+    from .tabular import n_buckets
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = read(sf_dir, "orders", ["o_custkey"])
+    nb = n_buckets(size_bytes=cust.size_bytes() + orders.size_bytes())
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(
+                    pc.bit_wise_and(b["c_custkey"], pa.scalar(nb - 1, pa.int64())),
+                    pa.int64(),
+                ),
+                "key": pc.cast(b["c_custkey"], pa.int64()),
+                "c_name": b["c_name"],
+                "pn": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    def order_side(b: pa.Table) -> pa.Table:
+        vc = b["o_custkey"].combine_chunks().value_counts()
+        keys = vc.field("values")
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(nb - 1, pa.int64())), pa.int64()
+                ),
+                "key": pc.cast(keys, pa.int64()),
+                "c_name": pa.nulls(len(keys), pa.string()),
+                "pn": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def outer(g: pd.DataFrame) -> pa.Table:
+        cnt = (
+            g.loc[g["c_name"].isna()]
+            .groupby("key", as_index=False)["pn"]
+            .sum()
+        )
+        left = g.loc[g["c_name"].notna(), ["key", "c_name"]].merge(
+            cnt, on="key", how="left"
+        )
+        n = left["pn"].fillna(0).to_numpy(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(left["key"].to_numpy(np.int64), pa.int64()),
+                "c_name": pa.array(left["c_name"].astype(str).to_numpy()
+                                   if len(left) else [], pa.string()),
+                "n_orders": pa.array(n, pa.int64()),
+            }
+        )
+
+    return (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow"))
+        .groupby("jb")
+        .map_groups(outer, batch_format="pandas")
+    )
+
+
+@register(
     "events_rollup",
     sql="""
     WITH base AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id

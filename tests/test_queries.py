@@ -41,6 +41,7 @@ ORACLE_SUBSET = [
     "doc_bigram_lm_score",
     "doc_token_entropy",
     "customers_with_urgent_orders",
+    "customer_order_counts",
     "events_rollup",
     "exact_substring_dups",
     "dedup_exact_first",
