@@ -226,3 +226,63 @@ def golden_approx_value_quantiles_daily(sf_dir: str) -> pa.Table:
             [_hist_quantile(counts[d], q) for d in out_days], pa.float64()
         )
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# exact distributed order statistics (the approx sketch's exact counterpart)
+# ---------------------------------------------------------------------------
+
+EXACT_QS = ((50, 0.50), (90, 0.90), (99, 0.99))
+
+
+@register(
+    "value_percentiles",
+    sql="""
+    SELECT quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.90) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events
+    """,
+)
+def value_percentiles(sf_dir: str):
+    """EXACT global percentiles by distributed sort + offset selection —
+    the order-statistics family member the histogram sketch approximates
+    (`approx_value_quantiles_daily` trades exactness for a fixed-size
+    shuffle; this one pays the honest all-to-all sort when exactness is
+    the requirement).
+
+    Plan: column-pruned read of ONE float column → distributed range sort
+    → per-block row counts from BLOCK METADATA ONLY (O(blocks) ints on the
+    driver, never values) → the ≤len(QS) blocks containing the target
+    global offsets are fetched and indexed. DuckDB's ``quantile_disc``
+    selects the element at ``ceil(q*n) - 1`` in the value order (verified
+    empirically incl. duplicate runs); we compute the identical index, so
+    the hash gate is exact.
+    """
+    ds = read(sf_dir, "events", ["value"]).sort("value").materialize()
+
+    import ray
+
+    blocks: list[tuple] = []  # (ObjectRef, num_rows)
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            blocks.append((ref, int(meta.num_rows)))
+    n = sum(c for _, c in blocks)
+
+    cols: dict[str, pa.Array] = {}
+    cache: dict[int, pa.Table] = {}
+    for lbl, q in EXACT_QS:
+        off = max(0, int(np.ceil(q * n)) - 1)
+        for bi, (ref, cnt) in enumerate(blocks):
+            if off < cnt:
+                if bi not in cache:
+                    blk = ray.get(ref)
+                    cache[bi] = (
+                        blk if isinstance(blk, pa.Table)
+                        else pa.Table.from_pandas(blk, preserve_index=False)
+                    )
+                v = cache[bi]["value"][off].as_py()
+                cols[f"p{lbl}"] = pa.array([float(v)], pa.float64())
+                break
+            off -= cnt
+    return pa.table(cols)

@@ -42,6 +42,7 @@ ORACLE_SUBSET = [
     "doc_token_entropy",
     "customers_with_urgent_orders",
     "customer_order_counts",
+    "value_percentiles",
     "events_rollup",
     "exact_substring_dups",
     "dedup_exact_first",
