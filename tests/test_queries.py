@@ -258,3 +258,43 @@ def test_n_buckets_scales_with_data_size():
     assert cb_big > cb_small and cb_big & (cb_big - 1) == 0
     assert cb_big >= 1024 * GRAM_EXPANSION
     assert contamination_buckets(None) == contamination_buckets(0)  # hint-less
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_rollup",
+        "user_session_counts",
+        "customer_order_counts",
+        "doc_bigram_lm_score",
+        "doc_distinctive_terms",
+    ],
+)
+def test_bucket_count_invariance(harness, name, monkeypatch):
+    """The coarse hash-bucket partitioning in every bucketed operator is an
+    INTERNAL exchange detail: forcing wildly different bucket counts must
+    produce identical results (the round-3 split_contamination lesson,
+    asserted for the round-4 bucketed plans). n_buckets is imported late
+    inside each operator, so patching the module function reaches them."""
+    import hashlib
+
+    import newsray.tabular as tabular
+
+    entrymod, _ = harness
+    fn = entrymod.queries()[name]
+    real = tabular.n_buckets
+    digests = set()
+    for forced in (4, 64):
+        monkeypatch.setattr(
+            tabular, "n_buckets", lambda min_b=32, size_bytes=None, f=forced: f
+        )
+        try:
+            df = _normalize(_to_pandas(fn(SF)))
+        finally:
+            monkeypatch.setattr(tabular, "n_buckets", real)
+        digests.add(
+            hashlib.md5(
+                df.to_csv(index=False, float_format="%.10f").encode()
+            ).hexdigest()
+        )
+    assert len(digests) == 1, f"{name} output varies with bucket count"
