@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "doc_token_entropy",
     "exact_substring_dups",
     "events_rollup",
+    "customer_order_counts",
+    "value_percentiles",
 ]
 
 

@@ -81,9 +81,17 @@ class OracleResult:
         return sorted((f["seq"], f["canon_url"]) for f in self.fetch_log)
 
 
-def run_oracle(web: SyntheticWeb, policy: CrawlPolicy | None = None) -> OracleResult:
+def run_oracle(
+    web: SyntheticWeb,
+    policy: CrawlPolicy | None = None,
+    pre_seen_urls: set | None = None,
+) -> OracleResult:
     policy = policy or CrawlPolicy()
     res = OracleResult()
+    if pre_seen_urls:
+        # S5 existing-output bootstrap: (site, canon_url) tuples loaded from
+        # a prior run's JSON exports (the reference's get_existing_links)
+        res.url_seen.update(pre_seen_urls)
     metrics: dict = defaultdict(int)
     matchers = {site: make_matcher(web, SITES[site]) for site in SITES}
     budget_used: dict[str, int] = defaultdict(int)

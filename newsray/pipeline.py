@@ -586,6 +586,12 @@ class PipelineConfig:
     # protocol's side effects (claims, fuzzy pushes, metrics) replay safely
     # under Ray's task retry. None (production) = zero cost.
     fault_inject_actor: str | None = None
+    # S5 existing-output bootstrap: seed the URL-seen shards from a prior
+    # run's day-grouped JSON exports (the reference's get_existing_links —
+    # the no-checkpoint migration path). Checkpoint restore wins when both
+    # are configured; like the reference, a bootstrapped rerun re-fetches
+    # listings but never re-emits a seen article.
+    bootstrap_output_dir: str | None = None
 
 
 class CrawlPipeline:
@@ -637,6 +643,32 @@ class CrawlPipeline:
                 site, val = rest.split("\x1f", 1)
                 (url_seen if space == "u" else title_seen).add((site, val))
         return url_seen, title_seen
+
+    def bootstrap_seen(self, out_dir: str) -> int:
+        """Seed the URL-seen shards from a prior run's day-grouped JSON
+        exports — the reference's S5 ``get_existing_links`` (defensive
+        per-site parse, `sink.get_existing_links`) for users migrating WITH
+        existing outputs but WITHOUT a checkpoint. Exported ``url`` IS the
+        canonical URL (articles store canon_url in both url fields), so the
+        keys match the wave protocol's claim keys exactly. Returns the
+        number of URLs seeded."""
+        from .seen import shard_of
+        from .sink import load_existing_links
+
+        links = load_existing_links(out_dir)
+        keys = [
+            f"u:{site}\x1f{url}"
+            for site, urls in sorted(links.items())
+            for url in sorted(urls)
+        ]
+        n = len(self.seen_shards)
+        by: dict[int, list[str]] = {}
+        for k in keys:
+            by.setdefault(shard_of(k, n), []).append(k)
+        ray.get(
+            [self.seen_shards[sid].restore.remote(ks) for sid, ks in by.items()]
+        )
+        return len(keys)
 
     def seed_frontier(self) -> pa.Table:
         rows = []
@@ -926,6 +958,11 @@ class CrawlPipeline:
         # checkpoint.restore() calls set _restored so this is a no-op then
         if cfg.checkpoint_dir and not self._restored and frontier is None:
             ckpt.restore(self, cfg.checkpoint_dir)
+            self._restored = True
+        # S5 existing-output bootstrap (no-checkpoint migration path):
+        # checkpoint restore carries strictly more state, so it wins
+        elif cfg.bootstrap_output_dir and not self._restored:
+            self.bootstrap_seen(cfg.bootstrap_output_dir)
             self._restored = True
         if frontier is None:
             frontier = self._frontier0 if self._frontier0 is not None else self.seed_frontier()

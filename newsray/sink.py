@@ -181,6 +181,49 @@ def day_grouped_export(arts: pa.Table, out_dir: str) -> dict[str, str]:
     return paths
 
 
+def get_existing_links(path: str) -> set[str]:
+    """The reference's existing-output reader (SURVEY S5;
+    `Google_Crawler.py:112-145` semantics — the most defensive of the ten):
+    parse ONE site's day-grouped JSON output into its seen-URL set.
+    Tolerance contract mirrored exactly: missing file → CREATE it with an
+    empty list and return empty; non-list payload → reset (empty);
+    malformed day entries / article records skipped; JSON decode error or
+    any other read failure → empty set (start fresh)."""
+    try:
+        if not os.path.exists(path):
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump([], f, ensure_ascii=False, indent=2)
+            return set()
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+        if not isinstance(data, list):
+            return set()
+        links: set[str] = set()
+        for day in data:
+            if isinstance(day, dict) and isinstance(day.get("articles"), list):
+                for a in day["articles"]:
+                    if isinstance(a, dict) and "url" in a:
+                        links.add(a["url"])
+        return links
+    except (json.JSONDecodeError, OSError):
+        return set()
+    except Exception:  # reference: ANY read error starts fresh
+        return set()
+
+
+def load_existing_links(out_dir: str) -> dict[str, set[str]]:
+    """Every site's seen-URL set from a day-grouped export directory
+    (`{site}_News.json` per site; absent files are created empty — the
+    reference's first-run behavior). Feed files are feed-sized by
+    construction, so the driver-side parse is the reference's own
+    contract, not a corpus materialization."""
+    os.makedirs(out_dir, exist_ok=True)
+    return {
+        site: get_existing_links(os.path.join(out_dir, f"{site}_News.json"))
+        for site in SITES
+    }
+
+
 def merge_feed(new_items: list[dict], feed_path: str, cap: int = 50) -> list[dict]:
     """Aggregator load-merge (the missing ``crawler.js``'s behavior, fully
     specified by utils.js): LOAD the existing feed file (tolerant of a
