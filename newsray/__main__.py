@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
         "HTML through the selector engine instead of the synthetic web — "
         "e.g. tests/fixtures/refsites ships the reference's ten sites",
     )
+    c.add_argument(
+        "--bootstrap-dir",
+        default=None,
+        help="prior run's day-grouped JSON export dir: seed the URL-seen "
+        "set from {site}_News.json files (the reference's "
+        "get_existing_links — the no-checkpoint migration path; "
+        "--checkpoint-dir wins when both are given)",
+    )
     c.add_argument("--extra-sections", type=int, default=0, help="widen the frontier")
     c.add_argument("--max-waves", type=int, default=None, help="BFS wave cap")
     c.add_argument(
@@ -87,6 +95,7 @@ def cmd_crawl(args: argparse.Namespace) -> dict:
         web_params=WebParams(**wp_kwargs),
         policy=CrawlPolicy(**pol_kwargs),
         checkpoint_dir=args.checkpoint_dir,
+        bootstrap_output_dir=args.bootstrap_dir,
     )
     res = CrawlPipeline(cfg).run(streaming_finalize=True)
     write_documents_ds(res["articles_ds"], args.out)
