@@ -70,30 +70,56 @@ def _day_key(date_group: str) -> str:
     return "unknown"
 
 
+def _load_manifest(out_dir: str) -> frozenset[str]:
+    """Completed-partition skip-list ('site=S/day=D' strings). Unreadable or
+    corrupt manifest → empty (rewrite everything — idempotent, never wrong)."""
+    path = os.path.join(out_dir, "_manifest.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return frozenset(data) if isinstance(data, list) else frozenset()
+    except (OSError, ValueError):
+        return frozenset()
+
+
+def _commit_manifest(out_dir: str, parts: set[str]) -> None:
+    """Atomically record completed partitions (union with any prior list) —
+    written only AFTER the data files are durable, so a crash between data
+    write and manifest commit merely re-writes those partitions next run."""
+    manifest = os.path.join(out_dir, "_manifest.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(parts | set(_load_manifest(out_dir))), f)
+    os.replace(tmp, manifest)
+
+
 def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
     """Write interleaved documents partitioned by (site, date_group digest).
 
-    Partition key uses the article's site and day so a resumed run can skip
-    complete partitions; written atomically (tmp file + rename)."""
+    RESUMABLE: partitions listed in the root's ``_manifest.json`` (committed
+    atomically after their data files) are SKIPPED on a re-run, so an
+    interrupted export never re-writes finished work; each partition file is
+    itself written atomically (tmp + rename)."""
     os.makedirs(out_dir, exist_ok=True)
+    done = _load_manifest(out_dir)
     written = []
     sites = arts["site"].to_pylist()
     dates = arts["date_group"].to_pylist()
     by_part: dict[tuple[str, str], list[int]] = {}
     for i, (s, d) in enumerate(zip(sites, dates)):
         by_part.setdefault((s, _day_key(d)), []).append(i)
+    new_parts: set[str] = set()
     for (site, day), idxs in sorted(by_part.items()):
+        label = f"site={site}/day={day}"
+        if label in done:
+            continue  # finished in a prior (possibly interrupted) run
         part = arts.take(idxs)
         docs = articles_to_documents(part)
         pdir = os.path.join(out_dir, f"site={site}", f"day={day}")
         os.makedirs(pdir, exist_ok=True)
         written.append(_write_part(docs, pdir))
-    # manifest of completed partitions (the resume skip-list)
-    manifest = os.path.join(out_dir, "_manifest.json")
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(sorted(f"site={s}/day={d}" for s, d in by_part), f)
-    os.replace(tmp, manifest)
+        new_parts.add(label)
+    _commit_manifest(out_dir, new_parts)
     return written
 
 
@@ -102,20 +128,42 @@ def write_documents_ds(arts_ds, out_dir: str) -> None:
     documents written straight from the object store with
     ``Dataset.write_parquet(partition_cols=...)`` — one directory per
     (site, day), no driver materialization (the Table-based
-    ``write_documents`` above stays for test-sized exports). A resumed run
-    lists finished partitions and skips them."""
+    ``write_documents`` above stays for test-sized exports).
+
+    RESUMABLE: finished partitions from the root's ``_manifest.json`` are
+    filtered out INSIDE the partition map (the skip-list is a broadcast
+    frozenset — O(partitions), never row data), so a re-run after a crash
+    streams only the unfinished rows; the manifest commits atomically only
+    after ``write_parquet`` returns (data durable first, bookkeeping
+    second — a crash in between re-writes those partitions, never loses
+    them)."""
     from .pipeline import _spans_batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = _load_manifest(out_dir)
 
     def spans_with_partition(b: pa.Table) -> pa.Table:
         docs = _spans_batch(b)
+        sites = b["site"].to_pylist()
         day = [_day_key(d) for d in b["date_group"].to_pylist()]
-        return docs.append_column("site", b["site"]).append_column(
+        t = docs.append_column("site", b["site"]).append_column(
             "day", pa.array(day, pa.string())
         )
+        if done:
+            keep = [f"site={s}/day={d}" not in done for s, d in zip(sites, day)]
+            t = t.filter(pa.array(keep, pa.bool_()))
+        return t
 
-    arts_ds.map_batches(spans_with_partition, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["site", "day"]
-    )
+    ds = arts_ds.map_batches(spans_with_partition, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["site", "day"])
+    # partitions now present on disk = completed set (the write returned)
+    parts = {
+        f"{os.path.basename(root)}/{d}"
+        for root, dirs, _files in os.walk(out_dir)
+        for d in dirs
+        if d.startswith("day=") and os.path.basename(root).startswith("site=")
+    }
+    _commit_manifest(out_dir, parts)
 
 
 def read_documents(out_dir: str) -> pa.Table:

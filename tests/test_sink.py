@@ -167,3 +167,80 @@ def test_job_entrypoint_crawl(tmp_path):
     back = read_documents(out_dir)
     assert back.num_rows > 0
     assert {"doc_id", "spans", "site", "day"} <= set(back.column_names)
+
+
+def test_write_documents_resume_skips_finished_partitions(arts, tmp_path):
+    """Interrupted-export resume: partitions committed to _manifest.json are
+    SKIPPED on re-run (file mtimes untouched), unfinished ones written."""
+    import time as _time
+
+    out = str(tmp_path / "docs")
+    written = write_documents(arts, out)
+    assert written
+    manifest_path = os.path.join(out, "_manifest.json")
+    full = json.load(open(manifest_path))
+
+    # simulate a crash after HALF the partitions committed: truncate the
+    # manifest and delete the corresponding data dirs
+    keep, redo = full[: len(full) // 2], full[len(full) // 2 :]
+    assert keep and redo
+    import shutil
+
+    for label in redo:
+        shutil.rmtree(os.path.join(out, label))
+    with open(manifest_path, "w") as f:
+        json.dump(keep, f)
+    mtimes_before = {
+        label: os.path.getmtime(os.path.join(out, label)) for label in keep
+    }
+    _time.sleep(0.05)
+
+    rewritten = write_documents(arts, out)  # resume
+    # only the missing partitions were written
+    assert len(rewritten) == len(redo)
+    for label in keep:
+        assert os.path.getmtime(os.path.join(out, label)) == mtimes_before[label]
+    # manifest back to the full set; data complete
+    assert sorted(json.load(open(manifest_path))) == sorted(full)
+    assert read_documents(out).num_rows == arts.num_rows
+
+
+def test_write_documents_ds_resume_skips_finished_partitions(ray_session, tmp_path):
+    """Scale path resume: rows of manifested partitions are filtered inside
+    the partition map; only unfinished partitions gain files on re-run."""
+    from newsray.pipeline import CrawlPipeline, PipelineConfig
+    from newsray.sink import write_documents_ds
+    from newsray.synth import WebParams
+
+    import pyarrow.parquet as pq
+    import shutil
+
+    res = CrawlPipeline(
+        PipelineConfig(web_params=WebParams(only_sites=("fnnews", "gukje")),
+                       policy=CrawlPolicy())
+    ).run(streaming_finalize=True)
+    out = str(tmp_path / "docs")
+    arts_tbl = res["articles_ds"].materialize()
+    write_documents_ds(arts_tbl, out)
+    n_total = pq.read_table(out).num_rows
+    manifest_path = os.path.join(out, "_manifest.json")
+    full = sorted(json.load(open(manifest_path)))
+    assert n_total > 0 and full
+
+    # crash simulation: half the partitions never completed
+    keep, redo = full[: len(full) // 2], full[len(full) // 2 :]
+    assert keep and redo
+    for label in redo:
+        shutil.rmtree(os.path.join(out, label))
+    with open(manifest_path, "w") as f:
+        json.dump(keep, f)
+    files_before = {
+        label: sorted(os.listdir(os.path.join(out, label))) for label in keep
+    }
+
+    write_documents_ds(arts_tbl, out)  # resume
+    # finished partitions untouched (same file listing), missing ones back
+    for label in keep:
+        assert sorted(os.listdir(os.path.join(out, label))) == files_before[label]
+    assert sorted(json.load(open(manifest_path))) == full
+    assert pq.read_table(out).num_rows == n_total
