@@ -263,8 +263,9 @@ def revenue_by_priority(sf_dir: str):
     bucket by hash(orderkey) % B, co-locate via ONE groupby, join + partially
     aggregate inside each bucket, then a tiny final groupby. This is the
     portable Ray Data large-join pattern (ray_guide 'Joins'); B scales with
-    the cluster AND the data (tabular.n_buckets), hot keys would be salted
-    into sub-buckets.
+    the cluster AND the data (tabular.n_buckets); for a HOT key, the implemented
+    salting pattern is events_rollup's user-hash bucket (split the hot group
+    by an orthogonal key hash, partial per salt, tiny final merge).
 
     Determinism: revenue is accumulated in EXACT int64 units of 10^-4 dollars
     (extendedprice is cents-exact in float64, discount a 2-dp fraction, so
@@ -712,7 +713,8 @@ def clicks_near_purchase(sf_dir: str):
     exact interval predicate evaluates vectorized inside the group. Each
     qualifying pair materializes in exactly one group (the click's bin), so
     no dedup pass is needed. Partitioning assumption: time bins × user
-    hash spread load; a hot (bin, user) pair would be salted further."""
+    hash spread load; a hot (bin, user) pair would be salted further by an
+    orthogonal-key sub-hash, as events_rollup does for its hot type keys."""
     from .tabular import n_buckets
 
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
