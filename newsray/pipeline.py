@@ -627,6 +627,7 @@ class CrawlPipeline:
         self.start_wave = 0
         self._frontier0: pa.Table | None = None
         self._restored = False
+        self._bootstrapped = False
         # parquet paths of checkpoint-restored wave docs: their fuzzy
         # projections re-push via a DISTRIBUTED pruned read in
         # finalize_streaming (never a driver loop over wave tables)
@@ -957,13 +958,24 @@ class CrawlPipeline:
         # offsets and silently corrupted the delta chain); explicit
         # checkpoint.restore() calls set _restored so this is a no-op then
         if cfg.checkpoint_dir and not self._restored and frontier is None:
-            ckpt.restore(self, cfg.checkpoint_dir)
+            # restore() returns False for an EMPTY checkpoint dir (a fresh
+            # run that will start checkpointing forward) — that must not
+            # swallow a configured bootstrap, so track "state actually
+            # restored" separately from "restore attempted"
+            restored_state = ckpt.restore(self, cfg.checkpoint_dir)
             self._restored = True
-        # S5 existing-output bootstrap (no-checkpoint migration path):
-        # checkpoint restore carries strictly more state, so it wins
-        elif cfg.bootstrap_output_dir and not self._restored:
+        else:
+            restored_state = self._restored
+        # S5 existing-output bootstrap (no-checkpoint migration path): an
+        # ACTUAL checkpoint restore carries strictly more state, so it wins;
+        # an empty checkpoint dir does not
+        if (
+            cfg.bootstrap_output_dir
+            and not restored_state
+            and not self._bootstrapped
+        ):
             self.bootstrap_seen(cfg.bootstrap_output_dir)
-            self._restored = True
+            self._bootstrapped = True
         if frontier is None:
             frontier = self._frontier0 if self._frontier0 is not None else self.seed_frontier()
         if isinstance(frontier, pa.Table):

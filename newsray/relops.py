@@ -332,6 +332,12 @@ def revenue_by_priority(sf_dir: str):
         o = g[g["side"] == "o"][["key", "o_orderpriority"]]
         l = g[g["side"] == "l"][["key", "rev_e4", "n_rows"]]
         m = l.merge(o, on="key", how="inner")
+        # back to int64 BEFORE the sum: the union frame holds NaN on the
+        # order side, so these columns arrive float64, and a float64 partial
+        # sum reintroduces the exact last-ulp nondeterminism this operator's
+        # int64 design exists to prevent (sums near 2^53 at large SF)
+        m["rev_e4"] = m["rev_e4"].astype("int64")
+        m["n_rows"] = m["n_rows"].astype("int64")
         agg = m.groupby("o_orderpriority", as_index=False).agg(
             partial_rev=("rev_e4", "sum"), partial_n=("n_rows", "sum")
         )

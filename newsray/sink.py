@@ -70,38 +70,101 @@ def _day_key(date_group: str) -> str:
     return "unknown"
 
 
-def _load_manifest(out_dir: str) -> frozenset[str]:
-    """Completed-partition skip-list ('site=S/day=D' strings). Unreadable or
-    corrupt manifest → empty (rewrite everything — idempotent, never wrong)."""
+def _load_manifest(out_dir: str) -> tuple[str | None, frozenset[str]]:
+    """(run_id, completed-partition skip-list). The manifest is SCOPED TO ONE
+    EXPORT RUN: skipping a partition is only sound when the rows being
+    written are the same rows that produced it. Unreadable/corrupt manifest
+    → (None, empty): rewrite everything — idempotent, never wrong. A legacy
+    bare-list manifest loads as run_id None."""
     path = os.path.join(out_dir, "_manifest.json")
     try:
         with open(path) as f:
             data = json.load(f)
-        return frozenset(data) if isinstance(data, list) else frozenset()
+        if isinstance(data, list):  # legacy shape
+            return None, frozenset(data)
+        if isinstance(data, dict) and isinstance(data.get("parts"), list):
+            return data.get("run_id"), frozenset(data["parts"])
+        return None, frozenset()
     except (OSError, ValueError):
+        return None, frozenset()
+
+
+def _resume_parts(out_dir: str, run_id: str | None) -> frozenset[str]:
+    """Partitions safe to skip for THIS run: the manifest's list when its
+    run_id matches, else a loud refusal — silently skipping another run's
+    partitions would DROP the new run's rows that fall into them."""
+    stored, parts = _load_manifest(out_dir)
+    if not parts:
         return frozenset()
+    if stored != run_id:
+        raise RuntimeError(
+            f"{out_dir} holds a completed export of a DIFFERENT run "
+            f"(manifest run_id={stored!r}, this run={run_id!r}): writing "
+            "into it would either skip or duplicate rows. Use a fresh "
+            "output dir, or pass the original run_id to resume that export."
+        )
+    return parts
 
 
-def _commit_manifest(out_dir: str, parts: set[str]) -> None:
-    """Atomically record completed partitions (union with any prior list) —
-    written only AFTER the data files are durable, so a crash between data
-    write and manifest commit merely re-writes those partitions next run."""
+def _commit_manifest(out_dir: str, run_id: str | None, parts: set[str]) -> None:
+    """Atomically record completed partitions (union with any prior list of
+    the SAME run) — written only AFTER the data files are durable, so a
+    crash between data write and manifest commit merely re-writes those
+    partitions next run."""
+    _stored, prior = _load_manifest(out_dir)
     manifest = os.path.join(out_dir, "_manifest.json")
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(sorted(parts | set(_load_manifest(out_dir))), f)
+        json.dump({"run_id": run_id, "parts": sorted(parts | set(prior))}, f)
     os.replace(tmp, manifest)
+
+
+def _clean_unmanifested(out_dir: str, done: frozenset[str]) -> None:
+    """Delete partition dirs present on disk but absent from the manifest:
+    they are leftovers of a write that crashed before its manifest commit,
+    and re-writing into them without cleanup would DUPLICATE their rows
+    (Ray's write_parquet appends uniquely-named files, it does not
+    overwrite)."""
+    import shutil
+
+    for root, dirs, _files in os.walk(out_dir):
+        if not os.path.basename(root).startswith("site="):
+            continue
+        for d in list(dirs):
+            if d.startswith("day="):
+                label = f"{os.path.basename(root)}/{d}"
+                if label not in done:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def run_fingerprint(n: int, lo, hi, total) -> str:
+    """Deterministic export-run identity from the articles' discovered_seq
+    population (count/min/max/sum): identical for a crash-rerun of the same
+    crawl, different whenever the article set changed — the property the
+    resume skip-list's soundness rests on."""
+    import hashlib as _h
+
+    raw = f"{n}:{lo}:{hi}:{total}".encode()
+    return _h.blake2b(raw, digest_size=8).hexdigest()
 
 
 def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
     """Write interleaved documents partitioned by (site, date_group digest).
 
-    RESUMABLE: partitions listed in the root's ``_manifest.json`` (committed
-    atomically after their data files) are SKIPPED on a re-run, so an
-    interrupted export never re-writes finished work; each partition file is
-    itself written atomically (tmp + rename)."""
+    RESUMABLE within one export run: partitions listed in the root's
+    ``_manifest.json`` (committed atomically after their data files, scoped
+    to this run's fingerprint) are SKIPPED on a re-run of the SAME
+    articles, so an interrupted export never re-writes finished work; a
+    different article set aimed at the same dir REFUSES loudly instead of
+    silently skipping its rows. Each partition file is itself written
+    atomically (tmp + rename — so re-writing a partition replaces, never
+    duplicates)."""
     os.makedirs(out_dir, exist_ok=True)
-    done = _load_manifest(out_dir)
+    seqs = arts["discovered_seq"].to_pylist() if arts.num_rows else []
+    run_id = run_fingerprint(
+        len(seqs), min(seqs, default=0), max(seqs, default=0), sum(seqs)
+    )
+    done = _resume_parts(out_dir, run_id)
     written = []
     sites = arts["site"].to_pylist()
     dates = arts["date_group"].to_pylist()
@@ -112,14 +175,14 @@ def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
     for (site, day), idxs in sorted(by_part.items()):
         label = f"site={site}/day={day}"
         if label in done:
-            continue  # finished in a prior (possibly interrupted) run
+            continue  # finished in a prior (interrupted) run of these rows
         part = arts.take(idxs)
         docs = articles_to_documents(part)
         pdir = os.path.join(out_dir, f"site={site}", f"day={day}")
         os.makedirs(pdir, exist_ok=True)
         written.append(_write_part(docs, pdir))
         new_parts.add(label)
-    _commit_manifest(out_dir, new_parts)
+    _commit_manifest(out_dir, run_id, new_parts)
     return written
 
 
@@ -130,17 +193,34 @@ def write_documents_ds(arts_ds, out_dir: str) -> None:
     (site, day), no driver materialization (the Table-based
     ``write_documents`` above stays for test-sized exports).
 
-    RESUMABLE: finished partitions from the root's ``_manifest.json`` are
-    filtered out INSIDE the partition map (the skip-list is a broadcast
-    frozenset — O(partitions), never row data), so a re-run after a crash
-    streams only the unfinished rows; the manifest commits atomically only
-    after ``write_parquet`` returns (data durable first, bookkeeping
+    RESUMABLE within one export run: finished partitions from the root's
+    ``_manifest.json`` (scoped to this run's fingerprint — a DIFFERENT
+    article set aimed at the same dir refuses loudly rather than silently
+    skipping its rows) are filtered out INSIDE the partition map (the
+    skip-list is a broadcast frozenset — O(partitions), never row data), so
+    a re-run after a crash streams only the unfinished rows. Partition dirs
+    on disk but NOT in the manifest are leftovers of a crashed write and
+    are deleted first (write_parquet appends uniquely-named files — writing
+    into them again would duplicate rows). The manifest commits atomically
+    only after ``write_parquet`` returns (data durable first, bookkeeping
     second — a crash in between re-writes those partitions, never loses
     them)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
     from .pipeline import _spans_batch
 
     os.makedirs(out_dir, exist_ok=True)
-    done = _load_manifest(out_dir)
+    agg = arts_ds.aggregate(
+        Count(alias_name="n"),
+        Min("discovered_seq", alias_name="lo"),
+        Max("discovered_seq", alias_name="hi"),
+        Sum("discovered_seq", alias_name="total"),
+    )
+    run_id = run_fingerprint(
+        int(agg["n"] or 0), agg["lo"] or 0, agg["hi"] or 0, agg["total"] or 0
+    )
+    done = _resume_parts(out_dir, run_id)
+    _clean_unmanifested(out_dir, done)
 
     def spans_with_partition(b: pa.Table) -> pa.Table:
         docs = _spans_batch(b)
@@ -163,7 +243,7 @@ def write_documents_ds(arts_ds, out_dir: str) -> None:
         for d in dirs
         if d.startswith("day=") and os.path.basename(root).startswith("site=")
     }
-    _commit_manifest(out_dir, parts)
+    _commit_manifest(out_dir, run_id, parts)
 
 
 def read_documents(out_dir: str) -> pa.Table:

@@ -37,7 +37,8 @@ def test_partitioned_documents_roundtrip(arts):
         # hive-partitioned by site/day + completion manifest
         assert any("site=nate" in p for p in written)
         manifest = json.load(open(os.path.join(out, "_manifest.json")))
-        assert len(manifest) == len(written)
+        assert len(manifest["parts"]) == len(written)
+        assert manifest["run_id"]  # run-scoped skip-list (resume soundness)
         back = read_documents(out)
         assert back.num_rows == arts.num_rows
         assert set(back.column_names) >= {"doc_id", "spans"}
@@ -178,10 +179,11 @@ def test_write_documents_resume_skips_finished_partitions(arts, tmp_path):
     written = write_documents(arts, out)
     assert written
     manifest_path = os.path.join(out, "_manifest.json")
-    full = json.load(open(manifest_path))
+    mani = json.load(open(manifest_path))
+    full = mani["parts"]
 
     # simulate a crash after HALF the partitions committed: truncate the
-    # manifest and delete the corresponding data dirs
+    # manifest (same run_id) and delete the corresponding data dirs
     keep, redo = full[: len(full) // 2], full[len(full) // 2 :]
     assert keep and redo
     import shutil
@@ -189,7 +191,7 @@ def test_write_documents_resume_skips_finished_partitions(arts, tmp_path):
     for label in redo:
         shutil.rmtree(os.path.join(out, label))
     with open(manifest_path, "w") as f:
-        json.dump(keep, f)
+        json.dump({"run_id": mani["run_id"], "parts": keep}, f)
     mtimes_before = {
         label: os.path.getmtime(os.path.join(out, label)) for label in keep
     }
@@ -201,8 +203,13 @@ def test_write_documents_resume_skips_finished_partitions(arts, tmp_path):
     for label in keep:
         assert os.path.getmtime(os.path.join(out, label)) == mtimes_before[label]
     # manifest back to the full set; data complete
-    assert sorted(json.load(open(manifest_path))) == sorted(full)
+    assert sorted(json.load(open(manifest_path))["parts"]) == sorted(full)
     assert read_documents(out).num_rows == arts.num_rows
+
+    # a DIFFERENT article set aimed at the same dir must refuse loudly
+    # (silently skipping its rows is data loss, silently rewriting is dup)
+    with pytest.raises(RuntimeError, match="DIFFERENT run"):
+        write_documents(arts.slice(0, arts.num_rows - 1), out)
 
 
 def test_write_documents_ds_resume_skips_finished_partitions(ray_session, tmp_path):
@@ -224,23 +231,40 @@ def test_write_documents_ds_resume_skips_finished_partitions(ray_session, tmp_pa
     write_documents_ds(arts_tbl, out)
     n_total = pq.read_table(out).num_rows
     manifest_path = os.path.join(out, "_manifest.json")
-    full = sorted(json.load(open(manifest_path)))
+    mani = json.load(open(manifest_path))
+    full = sorted(mani["parts"])
     assert n_total > 0 and full
 
-    # crash simulation: half the partitions never completed
+    # crash simulation A: half the partitions never committed to the
+    # manifest AND their files are still on disk (write_parquet died after
+    # writing them) — the resume must DELETE those leftovers first, or the
+    # appended re-write would duplicate their rows
     keep, redo = full[: len(full) // 2], full[len(full) // 2 :]
     assert keep and redo
-    for label in redo:
-        shutil.rmtree(os.path.join(out, label))
     with open(manifest_path, "w") as f:
-        json.dump(keep, f)
+        json.dump({"run_id": mani["run_id"], "parts": keep}, f)
     files_before = {
         label: sorted(os.listdir(os.path.join(out, label))) for label in keep
     }
 
     write_documents_ds(arts_tbl, out)  # resume
-    # finished partitions untouched (same file listing), missing ones back
+    # finished partitions untouched (same file listing), crashed ones
+    # rebuilt cleanly: total row count EXACTLY the original (no dups)
     for label in keep:
         assert sorted(os.listdir(os.path.join(out, label))) == files_before[label]
-    assert sorted(json.load(open(manifest_path))) == full
+    assert sorted(json.load(open(manifest_path))["parts"]) == full
     assert pq.read_table(out).num_rows == n_total
+
+    # crash simulation B: dirs deleted too (classic partial loss)
+    for label in redo:
+        shutil.rmtree(os.path.join(out, label))
+    with open(manifest_path, "w") as f:
+        json.dump({"run_id": mani["run_id"], "parts": keep}, f)
+    write_documents_ds(arts_tbl, out)
+    assert pq.read_table(out).num_rows == n_total
+
+    # a DIFFERENT dataset aimed at the same dir must refuse loudly
+    import pytest
+
+    with pytest.raises(RuntimeError, match="DIFFERENT run"):
+        write_documents_ds(arts_tbl.limit(arts_tbl.count() - 1), out)
