@@ -1020,6 +1020,99 @@ def customers_with_urgent_orders(sf_dir: str):
 
 
 @register(
+    "user_funnel_counts",
+    sql="""
+    WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_buy
+    """,
+)
+def user_funnel_counts(sf_dir: str):
+    """Conversion funnel (view → click → purchase, time-ordered per user) —
+    the canonical behavioral-analytics shape: how many users viewed, then
+    clicked AT OR AFTER their first view, then purchased at or after that
+    first qualifying click.
+
+    ONE user-hash shuffle: the map side prunes to the three funnel types
+    and projects (part, user, type_code, ts); every user's rows co-locate,
+    so the in-bucket scan is three vectorized merge+filter+min passes (no
+    per-user Python), and each bucket emits ONE partial-count row — the
+    final exchange sums ≤B rows."""
+    from ray.data.aggregate import Sum
+
+    from .tabular import n_buckets
+
+    ds = read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    B = n_buckets(size_bytes=ds.size_bytes())
+    CODES = {"view": 0, "click": 1, "purchase": 2}
+
+    def prep(b: pd.DataFrame) -> pa.Table:
+        m = b["event_type"].isin(CODES)
+        b = b[m]
+        code = b["event_type"].map(CODES).to_numpy(np.int64)
+        u = b["user_id"].to_numpy(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array(u % B, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "code": pa.array(code, pa.int64()),
+                "ts": pa.array(
+                    b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def funnel(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "p_view": pa.array([], pa.int64()),
+                    "p_click": pa.array([], pa.int64()),
+                    "p_buy": pa.array([], pa.int64()),
+                }
+            )
+        v = g.loc[g["code"] == 0].groupby("user_id")["ts"].min().rename("tv")
+        c_all = g.loc[g["code"] == 1].merge(v, on="user_id")
+        c = c_all.loc[c_all["ts"] >= c_all["tv"]].groupby("user_id")["ts"].min().rename("tc")
+        p_all = g.loc[g["code"] == 2].merge(c, on="user_id")
+        p = p_all.loc[p_all["ts"] >= p_all["tc"]].groupby("user_id")["ts"].min()
+        return pa.Table.from_pydict(
+            {
+                "p_view": pa.array([len(v)], pa.int64()),
+                "p_click": pa.array([len(c)], pa.int64()),
+                "p_buy": pa.array([len(p)], pa.int64()),
+            }
+        )
+
+    row = (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("part")
+        .map_groups(funnel, batch_format="pandas")
+        .aggregate(  # global fold of ≤B one-row partials → a dict row
+            Sum("p_view", alias_name="n_view"),
+            Sum("p_click", alias_name="n_view_click"),
+            Sum("p_buy", alias_name="n_view_click_buy"),
+        )
+    )
+    return pa.Table.from_pydict(
+        {
+            "n_view": pa.array([int(row["n_view"] or 0)], pa.int64()),
+            "n_view_click": pa.array([int(row["n_view_click"] or 0)], pa.int64()),
+            "n_view_click_buy": pa.array(
+                [int(row["n_view_click_buy"] or 0)], pa.int64()
+            ),
+        }
+    )
+
+
+@register(
     "customer_order_counts",
     sql="""
     SELECT c_custkey, c_name,

@@ -43,6 +43,7 @@ ORACLE_SUBSET = [
     "customers_with_urgent_orders",
     "customer_order_counts",
     "value_percentiles",
+    "user_funnel_counts",
     "events_rollup",
     "exact_substring_dups",
     "dedup_exact_first",
