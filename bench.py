@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "customer_order_counts",
     "value_percentiles",
+    "user_funnel_counts",
 ]
 
 
