@@ -1020,6 +1020,56 @@ def customers_with_urgent_orders(sf_dir: str):
 
 
 @register(
+    "top3_docs_by_source",
+    sql="""
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents) WHERE rn <= 3
+    """,
+)
+def top3_docs_by_source(sf_dir: str):
+    """Per-key top-k with a MAP-SIDE COMBINER — the scale shape the plain
+    ``groupby(key).map_groups(sort + head)`` (top3_by_event_type) lacks:
+    that one materializes a WHOLE group per task, fatal when one key is a
+    100-TB slice. Here every batch folds to its local per-source top-3
+    first, so the exchange carries ≤ 3 × sources rows per batch and the
+    final per-source merge sees ≤ 3 × batches candidates, never the
+    corpus."""
+    ds = read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+
+    def local_topk(b: pd.DataFrame) -> pa.Table:
+        from .tabular import from_pandas_clean
+
+        t = (
+            b.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+            .groupby("source", sort=False)
+            .head(3)
+        )
+        return from_pandas_clean(t[["source", "doc_id", "n_chars"]])
+
+    def merge_topk(g: pd.DataFrame) -> pa.Table:
+        t = g.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(3)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(t["source"].astype(str).to_numpy()
+                                   if len(t) else [], pa.string()),
+                "doc_id": pa.array(t["doc_id"].to_numpy(np.int64), pa.int64()),
+                "n_chars": pa.array(t["n_chars"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .groupby("source")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
+@register(
     "user_funnel_counts",
     sql="""
     WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events

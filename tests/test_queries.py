@@ -44,6 +44,7 @@ ORACLE_SUBSET = [
     "customer_order_counts",
     "value_percentiles",
     "user_funnel_counts",
+    "top3_docs_by_source",
     "events_rollup",
     "exact_substring_dups",
     "dedup_exact_first",
