@@ -217,8 +217,10 @@ def run_once() -> dict:
 def run_sub(ncpu: int, crawl_only: bool = True, samples: int = 1) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_NO_RETRY="1")
     # scaling sub-runs stay single-sample: --scaling interleaves whole
-    # sub-processes and takes the min per side, which subsumes the median
-    env.setdefault("BENCH_CRAWL_SAMPLES", str(samples))
+    # sub-processes and takes the min per side, which subsumes the median.
+    # Set unconditionally — an inherited BENCH_CRAWL_SAMPLES from the parent
+    # environment must not override the caller's per-sub-run policy.
+    env["BENCH_CRAWL_SAMPLES"] = str(samples)
     if crawl_only:
         env["BENCH_CRAWL_ONLY"] = "1"
     else:

@@ -58,23 +58,25 @@ MIN_STOP_RATIO = 0.05
 VERDICTS = ("lang", "quality", "exact_dup", "near_dup", "kept")
 
 
-def _stage12(b: pd.DataFrame) -> pd.DataFrame:
-    """Language + quality gates in ONE tokenize pass; survivors keep their
-    text (for downstream hashing/shingling) and get verdict ''."""
-    toks = b["text"].str.split(" ")
-    n_tok = toks.str.len().to_numpy()
-    lang_hits = toks.map(
-        lambda ws: sum(1 for w in ws if w in LANG_FUNCTION_WORDS)
-    ).to_numpy()
-    stop_n = toks.map(lambda ws: sum(1 for w in ws if w in STOPS)).to_numpy()
+def _stage12(b: pa.Table) -> pa.Table:
+    """Language + quality gates in ONE vectorized tokenize pass (shared
+    Arrow kernel `tabular.token_set_counts` — no Python per row); survivors
+    keep their text (for downstream hashing/shingling) and get verdict ''."""
+    from .tabular import token_set_counts
+
+    n_tok, (lang_hits, stop_n) = token_set_counts(
+        b["text"], (LANG_FUNCTION_WORDS, STOPS)
+    )
     lang_ok = lang_hits >= MIN_LANG_HITS
     qual_ok = (n_tok >= MIN_TOKENS) & ((stop_n / n_tok) >= MIN_STOP_RATIO)
     verdict = np.where(~lang_ok, "lang", np.where(~qual_ok, "quality", ""))
-    from .tabular import from_pandas_clean
-
-    out = b[["doc_id", "text"]].copy()
-    out["verdict"] = verdict
-    return from_pandas_clean(out)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": b["doc_id"],
+            "text": b["text"],
+            "verdict": pa.array(verdict, pa.string()),
+        }
+    )
 
 
 def _verdict_table(doc_ids: pa.ChunkedArray | pa.Array, verdict: str) -> pa.Table:
@@ -86,17 +88,22 @@ def _verdict_table(doc_ids: pa.ChunkedArray | pa.Array, verdict: str) -> pa.Tabl
     )
 
 
-def _exact_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One content-hash group: min doc_id keeps its text, the rest are
-    exact_dup verdict rows (empty text marks them for the split)."""
-    g = g.sort_values("doc_id")
-    keep = np.zeros(len(g), dtype=bool)
-    keep[0] = True
-    from .tabular import from_pandas_clean
-
-    out = g[["doc_id", "text"]].copy()
-    out["is_first"] = keep
-    return from_pandas_clean(out)
+def _exact_bucket(g: pd.DataFrame) -> pa.Table:
+    """One COARSE hash bucket (many content hashes co-located): min doc_id
+    per hash keeps its text, the rest become exact_dup rows. Vectorized
+    `transform('min')` inside the bucket — replaces a per-content-hash
+    map_groups whose mostly-singleton pandas groups paid the tiny-group
+    tax (same rewrite as dedup_simhash, 77c744a)."""
+    mins = g.groupby("content_hash")["doc_id"].transform("min")
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(g["doc_id"].astype("int64").to_numpy(), pa.int64()),
+            "text": pa.array(g["text"].astype(str).to_numpy(), pa.string()),
+            "is_first": pa.array(
+                g["doc_id"].to_numpy() == mins.to_numpy(), pa.bool_()
+            ),
+        }
+    )
 
 
 @register("corpus_clean", sql=golden_sql("corpus_clean"))
@@ -105,7 +112,7 @@ def corpus_clean(sf_dir: str):
     from .tabular import n_buckets
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    tagged = ds.map_batches(_stage12, batch_format="pandas").materialize()
+    tagged = ds.map_batches(_stage12, batch_format="pyarrow").materialize()
 
     fails = tagged.map_batches(
         lambda b: b.filter(pc.invert(pc.equal(b["verdict"], ""))).select(
@@ -114,23 +121,29 @@ def corpus_clean(sf_dir: str):
         batch_format="pyarrow",
     )
 
+    HB = n_buckets(size_bytes=tagged.size_bytes())
+
     def hash_survivors(b: pa.Table) -> pa.Table:
         s = b.filter(pc.equal(b["verdict"], ""))
         hx = [
             hashlib.md5(t.encode("utf-8")).hexdigest() for t in s["text"].to_pylist()
         ]
+        # coarse bucket key: many content hashes per group, so the exact
+        # dedup pays O(buckets) pandas-group overhead instead of O(hashes)
+        hb = [int(h[:8], 16) & (HB - 1) for h in hx]
         return pa.Table.from_pydict(
             {
                 "doc_id": s["doc_id"],
                 "text": s["text"],
                 "content_hash": pa.array(hx, pa.string()),
+                "hash_bucket": pa.array(hb, pa.int64()),
             }
         )
 
     exact = (
         tagged.map_batches(hash_survivors, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(_exact_group, batch_format="pandas")
+        .groupby("hash_bucket")
+        .map_groups(_exact_bucket, batch_format="pandas")
         .materialize()
     )
     exact_losers = exact.map_batches(

@@ -35,6 +35,38 @@ def from_pandas_clean(df) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
+def token_set_counts(
+    texts: pa.ChunkedArray | pa.Array,
+    term_sets,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Whitespace-tokenize a string column and count, per row, (a) the total
+    token count and (b) how many tokens fall in each of the given term sets
+    — entirely with Arrow kernels (``split_pattern`` → ``list_flatten`` →
+    ``is_in``) plus one ``np.bincount`` per set. This is the shared kernel
+    for the full-corpus text gates (lang-ID, quality, corpus_clean stages
+    1-2): zero Python per row, same semantics as ``text.split(' ')``
+    (consecutive spaces yield empty-string tokens). Returns
+    ``(n_tokens[int64 per row], [counts[int64 per row] per term set])``."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(texts, " ")
+    n = len(toks)
+    dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
+    flat = pc.list_flatten(toks)
+    rows = np.repeat(np.arange(n, dtype="int64"), dl)
+    out: list[np.ndarray] = []
+    for terms in term_sets:
+        m = pc.is_in(flat, value_set=pa.array(list(terms), pa.string())).to_numpy(
+            zero_copy_only=False
+        )
+        out.append(
+            np.bincount(rows[m], minlength=n).astype("int64")
+            if m.any()
+            else np.zeros(n, dtype="int64")
+        )
+    return dl, out
+
+
 def day_str(ts_series) -> np.ndarray:
     """Vectorized 'YYYY-MM-DD' from a pandas datetime series: numpy's
     datetime64[D]→str cast is C-level and ~50× faster than pandas

@@ -71,18 +71,18 @@ def doc_lang_id(sf_dir: str):
     {'the','a'} → 'en'). A real deployment swaps in an n-gram profile model
     loaded once per actor; the decision surface here is deliberately
     SQL-expressible so the oracle can gate it."""
+    from .tabular import token_set_counts
+
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
-    def lang(b: pd.DataFrame) -> pd.DataFrame:
-        def score(t: str) -> str:
-            n = sum(1 for w in t.split(" ") if w in ("the", "a"))
-            return "en" if n >= 2 else "other"
+    def lang(b: pa.Table) -> pa.Table:
+        _n, (hits,) = token_set_counts(b["text"], (("the", "a"),))
+        pred = np.where(hits >= 2, "en", "other")
+        return pa.Table.from_pydict(
+            {"doc_id": b["doc_id"], "pred_lang": pa.array(pred, pa.string())}
+        )
 
-        b = b.copy()
-        b["pred_lang"] = b["text"].map(score)
-        return b[["doc_id", "pred_lang"]]
-
-    return ds.map_batches(lang, batch_format="pandas")
+    return ds.map_batches(lang, batch_format="pyarrow")
 
 
 @register(
@@ -102,28 +102,31 @@ def doc_lang_id(sf_dir: str):
 def doc_quality(sf_dir: str):
     """Quality scoring: stopword ratio + average token length (length/punct
     ratios degenerate on this corpus). Single tokenize pass per row."""
-    ds = read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    stops = {"a", "the", "big", "small"}
+    import pyarrow.compute as pc
 
-    def qual(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.split(" ")
-        n_tok = toks.str.len().astype("int64")
-        stop_n = toks.map(lambda ws: sum(1 for w in ws if w in stops))
-        chars = b["text"].str.len()
-        out = pd.DataFrame(
+    from .tabular import token_set_counts
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    stops = ("a", "the", "big", "small")
+
+    def qual(b: pa.Table) -> pa.Table:
+        n_tok, (stop_n,) = token_set_counts(b["text"], (stops,))
+        chars = (
+            pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False).astype("int64")
+        )
+        return pa.Table.from_pydict(
             {
                 "doc_id": b["doc_id"],
                 "n_chars": b["n_chars"],
-                "n_tokens": n_tok,
-                "stop_ratio": _round4(stop_n.to_numpy() / n_tok.to_numpy()),
-                "avg_token_len": _round4(
-                    (chars.to_numpy() - (n_tok.to_numpy() - 1)) / n_tok.to_numpy()
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "stop_ratio": pa.array(_round4(stop_n / n_tok), pa.float64()),
+                "avg_token_len": pa.array(
+                    _round4((chars - (n_tok - 1)) / n_tok), pa.float64()
                 ),
             }
         )
-        return out
 
-    return ds.map_batches(qual, batch_format="pandas")
+    return ds.map_batches(qual, batch_format="pyarrow")
 
 
 def _round4(x: np.ndarray) -> np.ndarray:
