@@ -17,6 +17,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .golden import golden_sql
 from .registry import register
@@ -233,6 +234,8 @@ def golden_approx_value_quantiles_daily(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 EXACT_QS = ((50, 0.50), (90, 0.90), (99, 0.99))
+_SEL_P = 64  # pivot samples per batch per active quantile
+_SEL_CAP = 262_144  # max interior rows fetched by a COLLECT pass
 
 
 @register(
@@ -245,44 +248,174 @@ EXACT_QS = ((50, 0.50), (90, 0.90), (99, 0.99))
     """,
 )
 def value_percentiles(sf_dir: str):
-    """EXACT global percentiles by distributed sort + offset selection —
-    the order-statistics family member the histogram sketch approximates
+    """EXACT global percentiles by DISTRIBUTED SELECTION — zero shuffle.
+    The order-statistics family member the histogram sketch approximates
     (`approx_value_quantiles_daily` trades exactness for a fixed-size
-    shuffle; this one pays the honest all-to-all sort when exactness is
-    the requirement).
+    merge); this one keeps exactness but replaces the former all-to-all
+    sort plan with O(rounds) streaming column scans whose outputs are
+    O(batches × pivots) scalars.
 
-    Plan: column-pruned read of ONE float column → distributed range sort
-    → per-block row counts from BLOCK METADATA ONLY (O(blocks) ints on the
-    driver, never values) → the ≤len(QS) blocks containing the target
-    global offsets are fetched and indexed. DuckDB's ``quantile_disc``
-    selects the element at ``ceil(q*n) - 1`` in the value order (verified
-    empirically incl. duplicate runs); we compute the identical index, so
-    the hash gate is exact.
-    """
-    ds = read(sf_dir, "events", ["value"]).sort("value").materialize()
+    Plan per round (all active quantiles share every pass):
+      1. SAMPLE pass — each batch sorts its in-bracket values locally and
+         emits ≤``_SEL_P`` evenly-spaced pivots + its count (tiny rows).
+      2. RANK pass — with the merged distinct pivot list broadcast in the
+         closure, each batch emits ``searchsorted`` left/right ranks of
+         every pivot (one fixed-size int row per batch); the driver sums
+         them into global ranks.
+      3. NARROW — per quantile: if some pivot p has rank_lt(p) ≤ k <
+         rank_le(p) the answer IS p (duplicate-heavy data resolves here);
+         otherwise shrink the bracket to the adjacent-pivot open interval,
+         which per-batch even sampling bounds at ~n/( _SEL_P−1 ) + #batches
+         rows. Brackets under ``_SEL_CAP`` go to one COLLECT pass (fetch
+         the few interior values, local sort, index k − rank_le(lo));
+         larger ones re-enter round 1 restricted to the bracket.
 
-    import ray
+    DuckDB's ``quantile_disc`` selects the element at ``ceil(q*n) − 1`` in
+    value order over NON-NULL values (verified empirically incl. duplicate
+    runs); nulls are dropped inside every pass so the offset arithmetic
+    matches the oracle's population, and the selection index is identical,
+    so the hash gate is exact."""
+    ds = read(sf_dir, "events", ["value"])
 
-    blocks: list[tuple] = []  # (ObjectRef, num_rows)
-    for bundle in ds.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            blocks.append((ref, int(meta.num_rows)))
-    n = sum(c for _, c in blocks)
+    # state per quantile label: [k_remaining, lo, hi, resolved_value]
+    # target = (k_remaining)-th 0-based value among {v : lo < v < hi}
+    state: dict[int, list] = {}
+    first = True
 
-    cols: dict[str, pa.Array] = {}
-    cache: dict[int, pa.Table] = {}
-    for lbl, q in EXACT_QS:
-        off = max(0, int(np.ceil(q * n)) - 1)
-        for bi, (ref, cnt) in enumerate(blocks):
-            if off < cnt:
-                if bi not in cache:
-                    blk = ray.get(ref)
-                    cache[bi] = (
-                        blk if isinstance(blk, pa.Table)
-                        else pa.Table.from_pandas(blk, preserve_index=False)
-                    )
-                v = cache[bi]["value"][off].as_py()
-                cols[f"p{lbl}"] = pa.array([float(v)], pa.float64())
-                break
-            off -= cnt
-    return pa.table(cols)
+    for _round in range(8):
+        active = (
+            [(lbl, -np.inf, np.inf) for lbl, _ in EXACT_QS]
+            if first
+            else [
+                (lbl, st[1], st[2])
+                for lbl, st in state.items()
+                if st[3] is None and not st[4]
+            ]
+        )
+        if not first and not active:
+            break
+        brackets = [(float(lo), float(hi)) for _, lo, hi in active]
+
+        def sample(b: pa.Table, brs=tuple(brackets)) -> pa.Table:
+            v = pc.drop_null(b["value"]).to_numpy(zero_copy_only=False)
+            qi_out, piv_out, cnt_out = [], [], []
+            for i, (lo, hi) in enumerate(brs):
+                s = np.sort(v[(v > lo) & (v < hi)])
+                take = min(_SEL_P, len(s))
+                idx = (
+                    np.linspace(0, len(s) - 1, take).astype(np.int64)
+                    if take
+                    else np.array([], dtype=np.int64)
+                )
+                qi_out.append(i)
+                piv_out.append(s[idx])
+                cnt_out.append(len(s))
+            return pa.table(
+                {
+                    "qi": pa.array(qi_out, pa.int64()),
+                    "cnt": pa.array(cnt_out, pa.int64()),
+                    "pivots": pa.array(
+                        [p.tolist() for p in piv_out], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        samp = (
+            ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+        )  # O(batches × active) tiny rows
+        pivots: list[np.ndarray] = []
+        counts: list[int] = []
+        for i in range(len(active)):
+            part = samp[samp["qi"] == i]
+            counts.append(int(part["cnt"].sum()))
+            merged = (
+                np.unique(np.concatenate([np.asarray(p) for p in part["pivots"]]))
+                if len(part)
+                else np.array([], dtype=np.float64)
+            )
+            pivots.append(merged)
+
+        if first:
+            n = counts[0]
+            for (lbl, q) in EXACT_QS:
+                k = max(0, int(np.ceil(q * n)) - 1)
+                # [k_rem, lo, hi, resolved, collectable]
+                state[lbl] = [k, -np.inf, np.inf, None, False]
+            first = False
+
+        def ranks(b: pa.Table, brs=tuple(brackets), pvs=tuple(
+            tuple(p.tolist()) for p in pivots
+        )) -> pa.Table:
+            v = pc.drop_null(b["value"]).to_numpy(zero_copy_only=False)
+            qi_out, le_out, lt_out = [], [], []
+            for i, (lo, hi) in enumerate(brs):
+                s = np.sort(v[(v > lo) & (v < hi)])
+                p = np.asarray(pvs[i])
+                qi_out.append(i)
+                le_out.append(np.searchsorted(s, p, side="right").tolist())
+                lt_out.append(np.searchsorted(s, p, side="left").tolist())
+            return pa.table(
+                {
+                    "qi": pa.array(qi_out, pa.int64()),
+                    "le": pa.array(le_out, pa.list_(pa.int64())),
+                    "lt": pa.array(lt_out, pa.list_(pa.int64())),
+                }
+            )
+
+        rk = ds.map_batches(ranks, batch_format="pyarrow").to_pandas()
+        for i, (lbl, blo, bhi) in enumerate(active):
+            st = state[lbl]
+            part = rk[rk["qi"] == i]
+            p = pivots[i]
+            if len(p) == 0:  # empty bracket: duplicate endpoint resolved it
+                st[3] = float(bhi)
+                continue
+            rank_le = np.sum(np.stack(part["le"].to_numpy()), axis=0)
+            rank_lt = np.sum(np.stack(part["lt"].to_numpy()), axis=0)
+            k = st[0]
+            hit = (rank_lt <= k) & (k < rank_le)
+            if hit.any():
+                st[3] = float(p[int(np.argmax(hit))])
+                continue
+            # lo: max pivot with rank_le ≤ k (else bracket lo); hi: min
+            # pivot with rank_le > k (exists: rank_le[-1] = bracket count
+            # > k, else k would have hit or the bracket is inconsistent)
+            lo_cands = np.flatnonzero(rank_le <= k)
+            if len(lo_cands):
+                st[1] = float(p[lo_cands[-1]])
+                st[0] = int(k - rank_le[lo_cands[-1]])
+            hi_idx = int(np.argmax(rank_le > k))
+            st[2] = float(p[hi_idx])
+            interior = int(rank_lt[hi_idx] - (rank_le[lo_cands[-1]] if len(lo_cands) else 0))
+            st[4] = interior <= _SEL_CAP
+
+        to_collect = [
+            (lbl, st[1], st[2]) for lbl, st in state.items() if st[3] is None and st[4]
+        ]
+        if to_collect:
+            cbr = tuple((float(lo), float(hi)) for _, lo, hi in to_collect)
+
+            def collect(b: pa.Table, brs=cbr) -> pa.Table:
+                v = pc.drop_null(b["value"]).to_numpy(zero_copy_only=False)
+                qi_out, v_out = [], []
+                for i, (lo, hi) in enumerate(brs):
+                    m = v[(v > lo) & (v < hi)]
+                    qi_out.append(np.full(len(m), i, dtype=np.int64))
+                    v_out.append(m)
+                return pa.table(
+                    {
+                        "qi": pa.array(np.concatenate(qi_out), pa.int64()),
+                        "value": pa.array(
+                            np.concatenate(v_out).astype(np.float64), pa.float64()
+                        ),
+                    }
+                )
+
+            got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+            for i, (lbl, _, _) in enumerate(to_collect):
+                vals = np.sort(got.loc[got["qi"] == i, "value"].to_numpy())
+                state[lbl][3] = float(vals[state[lbl][0]])
+
+    return pa.table(
+        {f"p{lbl}": pa.array([state[lbl][3]], pa.float64()) for lbl, _ in EXACT_QS}
+    )

@@ -300,3 +300,41 @@ def test_bucket_count_invariance(harness, name, monkeypatch):
             ).hexdigest()
         )
     assert len(digests) == 1, f"{name} output varies with bucket count"
+
+
+def test_value_percentiles_selection_nulls_dups_rounds(ray_session, tmp_path, monkeypatch):
+    """Distributed-selection percentiles: nulls are excluded from the offset
+    population (quantile_disc semantics), duplicate-heavy data resolves on
+    the pivot-hit path, and a tiny _SEL_CAP forces the multi-round narrow
+    loop — all three must return the exact nearest-rank element."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import newsray.sketch as sketch
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            rng.normal(100.0, 25.0, 20_000),
+            np.full(5_000, 123.456),  # heavy duplicate → pivot-hit path
+        ]
+    )
+    col = vals.tolist() + [None] * 500  # nulls must not shift offsets
+    d = tmp_path / "sfvp"
+    d.mkdir()
+    pq.write_table(pa.table({"value": pa.array(col, pa.float64())}), d / "events.parquet")
+
+    s = np.sort(vals)
+    want = {
+        f"p{lbl}": s[max(0, math.ceil(q * len(s)) - 1)] for lbl, q in sketch.EXACT_QS
+    }
+
+    for cap, p in ((262_144, 64), (16, 8)):  # big cap: 1 round; tiny: multi-round
+        monkeypatch.setattr(sketch, "_SEL_CAP", cap)
+        monkeypatch.setattr(sketch, "_SEL_P", p)
+        got = sketch.value_percentiles(str(d)).to_pandas().iloc[0]
+        for k, v in want.items():
+            assert got[k] == v, (cap, p, k, got[k], v)
