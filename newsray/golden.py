@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = 9  # v8: data-derived grid B/G; v9: + refsites fixture crawl
+GOLDEN_VERSION = 10  # v9: + refsites fixture crawl; v10: + chunk_embed_index
 GOLDEN_ROOT = "/tmp/newsray_golden"
 SF_FIXED = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -533,7 +533,62 @@ def golden_crawl_day_groups(sf_dir: str) -> pa.Table:
 # dump orchestration
 # ---------------------------------------------------------------------------
 
+def golden_chunk_embed_index(sf_dir: str) -> pa.Table:
+    """Sequential RAG-prep oracle: chunk every document with a plain loop,
+    embed each chunk token-by-token (`ragprep.embed_tokens` — int64-exact,
+    so the construction IS the semantics, like the MinHash goldens), then
+    simulate the probe: multiprobe signature filter, exact int cosine,
+    top-10. No Ray, no index, no partitioning."""
+    from .ragprep import (
+        QUERY_DOC_ID,
+        TOP_K,
+        embed_tokens,
+        probe_set,
+        signatures,
+        stub_planes,
+    )
+    from .textan import CHUNK_STRIDE, CHUNK_TOKENS
+
+    planes = stub_planes()
+    cache: dict = {}
+    chunks = []  # (doc_id, chunk_id, emb)
+    for doc_id, text in _docs(sf_dir):
+        toks = text.split(" ")
+        n = len(toks)
+        last_i = 0 if n <= CHUNK_TOKENS else -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE)
+        for i in range(last_i + 1):
+            s = i * CHUNK_STRIDE
+            chunks.append(
+                (doc_id, i, embed_tokens(toks[s : s + CHUNK_TOKENS], cache))
+            )
+    q = next(e for d, c, e in chunks if d == QUERY_DOC_ID and c == 0)
+    qsig = int(signatures(q[None, :], planes)[0])
+    probe = probe_set(qsig)
+    qn2 = int(q @ q)
+    rows = []
+    for d, c, e in chunks:
+        if d == QUERY_DOC_ID and c == 0:
+            continue
+        n2 = int(e @ e)
+        if n2 == 0 or int(signatures(e[None, :], planes)[0]) not in probe:
+            continue
+        # np.round, not Python round: the two differ by 1 ulp on some
+        # values and the gate is hash-exact
+        cos = float(np.round(float(int(e @ q)) / np.sqrt(float(n2) * qn2), 6))
+        rows.append((d, c, cos))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    rows = rows[:TOP_K]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "chunk_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cos_sim": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
 GOLDENS = {
+    "chunk_embed_index": golden_chunk_embed_index,
     "dedup_minhash_lsh": golden_dedup_minhash_lsh,
     "dedup_minhash_clusters": golden_dedup_minhash_clusters,
     "dedup_simhash": golden_dedup_simhash,
