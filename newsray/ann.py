@@ -87,7 +87,7 @@ def knn_brute_cosine(sf_dir: str):
 
     def score(b: pa.Table) -> pa.Table:
         q = ray.get(qref)
-        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = emb_matrix(b["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cos = m @ q
@@ -134,7 +134,7 @@ def knn_multi_brute(sf_dir: str):
     ranking. Pruning is safe: batch-local top-k under the FINAL order
     ((rounded cos desc, vec_id asc)) can never drop a global winner."""
     tbl = _load_query_rows(sf_dir, N_QUERIES)  # O(queries) rows, pushed down
-    ids0 = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    ids0 = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids0)
     qids = ids0[order]
     Q = emb_matrix(tbl["embedding"].take(pa.array(order, pa.int64())))
@@ -145,7 +145,7 @@ def knn_multi_brute(sf_dir: str):
 
     def score(b: pa.Table) -> pa.Table:
         qids_, Q_ = ray.get(qref)
-        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = emb_matrix(b["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cos = m @ Q_.T  # (n, n_queries)
@@ -226,7 +226,7 @@ def knn_lsh_cosine(sf_dir: str):
         import pyarrow.compute as pc
 
         qv = ray.get(qref)
-        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = emb_matrix(b["embedding"])
         norm = np.linalg.norm(m, axis=1, keepdims=True)
         sigs = _signature(m / norm, planes)
@@ -401,7 +401,7 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
     ds = read(sf_dir, "embeddings", ["embedding", "label"])
 
     def partial(b: pa.Table) -> pa.Table:
-        labels = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = emb_matrix(b["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         out_l, out_n, out_s = [], [], []
@@ -453,7 +453,7 @@ def knn_ivf_cosine(sf_dir: str):
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def assign_score(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = emb_matrix(b["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cell = np.argmax(m @ cn.T, axis=1)
@@ -493,7 +493,7 @@ def embedding_centroids(sf_dir: str):
     ds = read(sf_dir, "embeddings", ["label", "embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
-        labels = np.asarray(b["label"].to_pylist(), dtype=np.int64)
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = emb_matrix(b["embedding"])
         out = {"label": [], "part_n": [], "s0": [], "s1": [], "s2": [], "s3": []}
         for lab in np.unique(labels):

@@ -165,6 +165,20 @@ def write_wave(
     _atomic_json(os.path.join(root, "manifest.json"), manifest)
 
 
+def repair_wave_metrics(root: str, wave_metrics: list[dict]) -> None:
+    """Overwrite each checkpointed wave's ``metrics.json`` with its
+    post-barrier repaired values: per-wave checkpoints are written with
+    possibly-lagged fire-and-forget counters mid-run, and without this a
+    resumed run would permanently keep under-reported fetched/candidates/
+    docs diagnostics for pre-crash waves. Metadata-only (never touches the
+    seen-delta chain or data files); missing wave dirs are skipped (waves
+    restored from an older checkpoint were not re-run here)."""
+    for m in wave_metrics:
+        d = _wave_dir(root, m["wave"])
+        if os.path.isdir(d):
+            _atomic_json(os.path.join(d, "metrics.json"), m)
+
+
 def restore(pipeline, root: str) -> bool:
     """Rehydrate a CrawlPipeline from the last completed wave. Returns True
     if there was state to restore. Refuses a topology mismatch (shard counts

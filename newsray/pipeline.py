@@ -949,7 +949,7 @@ class CrawlPipeline:
 
     # -- full run -------------------------------------------------------------
 
-    def run(self, frontier: pa.Table | None = None, streaming_finalize: bool = False) -> dict:
+    def run(self, frontier: pa.Table | None = None, streaming_finalize: bool = True) -> dict:
         from . import checkpoint as ckpt
 
         cfg = self.cfg
@@ -1035,6 +1035,14 @@ class CrawlPipeline:
                 m["fetched"] = int(t.get("pages_fetched", 0))
                 m["candidates"] = int(t.get("items_parsed", 0))
                 m["docs"] = int(t.get("docs_emitted", 0))
+            # ... and persist the repaired values: the per-wave checkpoints
+            # were written mid-run with possibly-lagged counters, and a
+            # resumed run reads its diagnostics from them
+            if cfg.checkpoint_dir:
+                ckpt.repair_wave_metrics(
+                    cfg.checkpoint_dir,
+                    [m for m in self.wave_metrics if m["wave"] >= self.start_wave],
+                )
         return self.finalize_streaming() if streaming_finalize else self.finalize()
 
     def shutdown(self) -> None:
@@ -1142,10 +1150,25 @@ class CrawlPipeline:
                         {"n": pa.array([b.num_rows], pa.int64())}
                     )
 
+                # a checkpointed wave written as a Dataset is a DIRECTORY of
+                # parquet files; read_parquet with an explicit path LIST
+                # opens each entry as a file, so expand dirs here
+                import os as _os
+
+                flat_paths = []
+                for p in self._restored_doc_paths:
+                    if _os.path.isdir(p):
+                        flat_paths.extend(
+                            sorted(
+                                _os.path.join(p, f)
+                                for f in _os.listdir(p)
+                                if f.endswith(".parquet")
+                            )
+                        )
+                    else:
+                        flat_paths.append(p)
                 (
-                    ray.data.read_parquet(
-                        self._restored_doc_paths, columns=FUZZY_PROJ_COLS
-                    )
+                    ray.data.read_parquet(flat_paths, columns=FUZZY_PROJ_COLS)
                     .map_batches(push_restored, batch_format="pyarrow")
                     .sum("n")  # execution barrier; driver sees one int
                 )
@@ -1181,18 +1204,46 @@ class CrawlPipeline:
 
         arts_ds = docs_ds.map_batches(final_filter, batch_format="pyarrow")
         documents_ds = arts_ds.map_batches(_spans_batch, batch_format="pyarrow")
-        return {
-            "articles_ds": arts_ds,
-            "documents_ds": documents_ds,
-            "fetch_logs": self.fetch_logs,
-            "wave_metrics": self.wave_metrics,
-            "finalize_metrics": self.finalize_metrics,
-        }
+        return RunResult(
+            {
+                "articles_ds": arts_ds,
+                "documents_ds": documents_ds,
+                "fetch_logs": self.fetch_logs,
+                "wave_metrics": self.wave_metrics,
+                "finalize_metrics": self.finalize_metrics,
+            }
+        )
 
 
 ARTS_SCHEMA = pa.schema(
     [(name, WAVE_SCHEMA.field(name).type) for name in ARTICLE_COLS]
 )
+
+
+class RunResult(dict):
+    """``finalize_streaming``'s result. The dataset keys (``articles_ds``,
+    ``documents_ds``, ``fetch_logs``) are real entries; the legacy
+    materializing keys of the ``finalize()`` shape (``articles``,
+    ``documents``, ``fetch_log``) are computed ON FIRST ACCESS and cached —
+    so ``run()`` can default to the streaming finalize while driver-side
+    materialization stays strictly opt-in (a scale consumer that only reads
+    the ``*_ds`` keys never triggers a collect)."""
+
+    def __missing__(self, key):
+        if key == "articles":
+            v = _collect(self["articles_ds"], ARTS_SCHEMA).sort_by("discovered_seq")
+        elif key == "documents":
+            v = articles_to_documents(self["articles"])
+        elif key == "fetch_log":
+            ftbls = [
+                t if isinstance(t, pa.Table) else _collect(t, CrawlPipeline.FLOG_W_SCHEMA)
+                for t in self["fetch_logs"]
+            ]
+            v = pa.concat_tables(ftbls) if ftbls else None
+        else:
+            raise KeyError(key)
+        self[key] = v
+        return v
 
 
 FUZZY_PROJ_COLS = ["site", "discovered_seq", "title"]

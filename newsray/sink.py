@@ -91,17 +91,24 @@ def _load_manifest(out_dir: str) -> tuple[str | None, frozenset[str]]:
 
 def _resume_parts(out_dir: str, run_id: str | None) -> frozenset[str]:
     """Partitions safe to skip for THIS run: the manifest's list when its
-    run_id matches, else a loud refusal — silently skipping another run's
-    partitions would DROP the new run's rows that fall into them."""
+    run_id matches. A legacy bare-list manifest (run_id None) carries no
+    run identity, so it is treated like a corrupt one: no resume info →
+    rewrite everything (callers clean unmanifested partition dirs first,
+    which makes the full rewrite duplicate-safe). A manifest from a
+    DIFFERENT identified run refuses loudly — silently skipping its
+    partitions would drop the new run's rows that fall into them, and
+    rewriting around them would leave the old run's extra partitions mixed
+    into the output."""
     stored, parts = _load_manifest(out_dir)
-    if not parts:
+    if not parts or stored is None:
         return frozenset()
     if stored != run_id:
         raise RuntimeError(
             f"{out_dir} holds a completed export of a DIFFERENT run "
             f"(manifest run_id={stored!r}, this run={run_id!r}): writing "
             "into it would either skip or duplicate rows. Use a fresh "
-            "output dir, or pass the original run_id to resume that export."
+            "output dir (the run_id is derived from the article set, so "
+            "re-exporting the SAME articles resumes automatically)."
         )
     return parts
 
@@ -137,14 +144,38 @@ def _clean_unmanifested(out_dir: str, done: frozenset[str]) -> None:
                     shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
-def run_fingerprint(n: int, lo, hi, total) -> str:
-    """Deterministic export-run identity from the articles' discovered_seq
-    population (count/min/max/sum): identical for a crash-rerun of the same
-    crawl, different whenever the article set changed — the property the
-    resume skip-list's soundness rests on."""
+_FP_MOD = (1 << 61) - 1  # Mersenne prime: order-free modular sum, no overflow
+
+
+def _row_content_hashes(b: pa.Table) -> int:
+    """Order-free content term for one batch: Σ blake2b(site∥url∥date_group)
+    mod _FP_MOD. Summation is commutative/associative, so partial batch
+    sums merge in any order — the mergeable-sketch shape."""
     import hashlib as _h
 
-    raw = f"{n}:{lo}:{hi}:{total}".encode()
+    s = 0
+    for site, url, dg in zip(
+        b["site"].to_pylist(), b["url"].to_pylist(), b["date_group"].to_pylist()
+    ):
+        s += int.from_bytes(
+            _h.blake2b(f"{site}\x00{url}\x00{dg}".encode(), digest_size=8).digest(),
+            "little",
+        )
+    return s % _FP_MOD
+
+
+def run_fingerprint(n: int, lo, hi, total, csum: int = 0) -> str:
+    """Deterministic export-run identity: the articles' discovered_seq
+    population (count/min/max/sum) PLUS an order-free modular sum of
+    per-row content hashes over (site, url, date_group) — identical for a
+    crash-rerun of the same crawl, different whenever the article set OR
+    its content-bearing fields changed (a re-crawl with an unchanged seq
+    population but different articles must NOT fingerprint as the same
+    run, or finished partitions holding stale rows would be silently
+    skipped)."""
+    import hashlib as _h
+
+    raw = f"{n}:{lo}:{hi}:{total}:{csum}".encode()
     return _h.blake2b(raw, digest_size=8).hexdigest()
 
 
@@ -162,9 +193,16 @@ def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     seqs = arts["discovered_seq"].to_pylist() if arts.num_rows else []
     run_id = run_fingerprint(
-        len(seqs), min(seqs, default=0), max(seqs, default=0), sum(seqs)
+        len(seqs),
+        min(seqs, default=0),
+        max(seqs, default=0),
+        sum(seqs),
+        _row_content_hashes(arts) if arts.num_rows else 0,
     )
     done = _resume_parts(out_dir, run_id)
+    # dirs on disk but not resumable are a crashed write's leftovers or a
+    # legacy (identity-less) export: remove so the rewrite can't mix rows
+    _clean_unmanifested(out_dir, done)
     written = []
     sites = arts["site"].to_pylist()
     dates = arts["date_group"].to_pylist()
@@ -205,19 +243,32 @@ def write_documents_ds(arts_ds, out_dir: str) -> None:
     only after ``write_parquet`` returns (data durable first, bookkeeping
     second — a crash in between re-writes those partitions, never loses
     them)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
     from .pipeline import _spans_batch
 
     os.makedirs(out_dir, exist_ok=True)
-    agg = arts_ds.aggregate(
-        Count(alias_name="n"),
-        Min("discovered_seq", alias_name="lo"),
-        Max("discovered_seq", alias_name="hi"),
-        Sum("discovered_seq", alias_name="total"),
-    )
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        """One tiny partial row per batch: seq stats + the order-free
+        content-hash term (merged driver-side over O(batches) rows)."""
+        seq = b["discovered_seq"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(seq)], pa.int64()),
+                "lo": pa.array([int(seq.min()) if len(seq) else 0], pa.int64()),
+                "hi": pa.array([int(seq.max()) if len(seq) else 0], pa.int64()),
+                "total": pa.array([int(seq.sum()) if len(seq) else 0], pa.int64()),
+                "csum": pa.array([_row_content_hashes(b)], pa.int64()),
+            }
+        )
+
+    parts_df = arts_ds.map_batches(fp_partial, batch_format="pyarrow").to_pandas()
+    live = parts_df[parts_df["n"] > 0]
     run_id = run_fingerprint(
-        int(agg["n"] or 0), agg["lo"] or 0, agg["hi"] or 0, agg["total"] or 0
+        int(parts_df["n"].sum()),
+        int(live["lo"].min()) if len(live) else 0,
+        int(live["hi"].max()) if len(live) else 0,
+        int(parts_df["total"].sum()),
+        int(sum(int(c) for c in parts_df["csum"]) % _FP_MOD),
     )
     done = _resume_parts(out_dir, run_id)
     _clean_unmanifested(out_dir, done)
@@ -276,16 +327,19 @@ def read_documents(out_dir: str) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
-def day_grouped_export(arts: pa.Table, out_dir: str) -> dict[str, str]:
-    """One JSON file per site, in the reference's day-grouped output shape:
-    ``[{date, articles: [{title, time, img, url, original_url[, summary]}]}]``
-    (K1; iso times, absent summary omitted — per-site record shapes)."""
-    os.makedirs(out_dir, exist_ok=True)
-    groups = day_grouped(arts)
-    by_site: dict[str, list[dict]] = {}
-    for g in groups:
-        entry = {"date": g["date"], "articles": []}
-        for a in g["articles"]:
+def _site_payload(site: str, df) -> list[dict]:
+    """One site's day-grouped JSON payload (K1 shape): day groups sorted by
+    date label; articles time-desc inside a group for sort-in-group sites,
+    discovery order otherwise; iso times; absent summary omitted."""
+    cfg = SITES[site]
+    entries = []
+    for dg, g in sorted(df.groupby("date_group"), key=lambda kv: kv[0]):
+        if cfg.sort_in_group:
+            g = g.sort_values("time", ascending=False, kind="mergesort")
+        else:
+            g = g.sort_values("discovered_seq", kind="mergesort")
+        arts_list = []
+        for a in g.to_dict("records"):
             rec = {
                 "title": a["title"],
                 "time": a["time"].isoformat(),
@@ -293,19 +347,81 @@ def day_grouped_export(arts: pa.Table, out_dir: str) -> dict[str, str]:
                 "url": a["url"],
                 "original_url": a["original_url"],
             }
-            if SITES[g["site"]].has_summary and a.get("summary"):
+            if cfg.has_summary and a.get("summary"):
                 rec["summary"] = a["summary"]
-            entry["articles"].append(rec)
-        by_site.setdefault(g["site"], []).append(entry)
+            arts_list.append(rec)
+        entries.append({"date": dg, "articles": arts_list})
+    return entries
+
+
+def _write_site_json(out_dir: str, site: str, payload: list[dict]) -> str:
+    path = os.path.join(out_dir, f"{site}_News.json")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f, ensure_ascii=False, indent=2)
+    os.replace(tmp, path)
+    return path
+
+
+# Above this, the reference-parity table path delegates to the distributed
+# per-site writers instead of building every site's payload on the driver.
+_EXPORT_DRIVER_MAX_ROWS = 200_000
+
+
+def day_grouped_export(arts: pa.Table, out_dir: str) -> dict[str, str]:
+    """One JSON file per site, in the reference's day-grouped output shape:
+    ``[{date, articles: [{title, time, img, url, original_url[, summary]}]}]``
+    (K1; iso times, absent summary omitted — per-site record shapes).
+
+    Small (reference-parity) tables build payloads on the driver; anything
+    larger routes through ``day_grouped_export_ds`` so no unbounded table
+    is ever pandas-materialized in the driver process."""
+    import ray
+
+    if arts.num_rows > _EXPORT_DRIVER_MAX_ROWS and ray.is_initialized():
+        import ray.data as rd
+
+        return day_grouped_export_ds(rd.from_arrow(arts), out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    df = arts.to_pandas()
     paths = {}
     for site in SITES:  # K2: every site gets a well-formed file, even empty
-        payload = sorted(by_site.get(site, []), key=lambda e: e["date"])
-        path = os.path.join(out_dir, f"{site}_News.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(payload, f, ensure_ascii=False, indent=2)
-        os.replace(tmp, path)
-        paths[site] = path
+        part = df[df["site"] == site]
+        payload = _site_payload(site, part) if len(part) else []
+        paths[site] = _write_site_json(out_dir, site, payload)
+    return paths
+
+
+def day_grouped_export_ds(arts_ds, out_dir: str) -> dict[str, str]:
+    """Distributed reference-shape JSON export: ``groupby(site).map_groups``
+    writers — each site's payload is built and written INSIDE its group
+    task, so the driver only ever sees O(sites) path rows. Partitioning
+    assumption: one site's output fits one worker, which the output format
+    itself imposes (the reference shape IS one JSON file per site); a
+    larger-than-worker site needs a different sink — use
+    ``write_documents_ds`` (partition-parallel parquet) for that. Workers
+    write to ``out_dir`` directly, so multi-node runs need it on shared
+    storage (same contract as every partitioned writer here)."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_site(g: pd.DataFrame) -> pa.Table:
+        site = str(g["site"].iloc[0])
+        path = _write_site_json(out_dir, site, _site_payload(site, g))
+        return pa.Table.from_pydict(
+            {"site": pa.array([site], pa.string()), "path": pa.array([path], pa.string())}
+        )
+
+    got = (
+        arts_ds.groupby("site")
+        .map_groups(write_site, batch_format="pandas")
+        .to_pandas()  # O(sites) rows
+    )
+    paths = dict(zip(got["site"], got["path"]))
+    for site in SITES:  # K2: empty sites still get a well-formed file
+        if site not in paths:
+            paths[site] = _write_site_json(out_dir, site, [])
     return paths
 
 

@@ -268,3 +268,53 @@ def test_write_documents_ds_resume_skips_finished_partitions(ray_session, tmp_pa
 
     with pytest.raises(RuntimeError, match="DIFFERENT run"):
         write_documents_ds(arts_tbl.limit(arts_tbl.count() - 1), out)
+
+
+def test_legacy_manifest_rewrites_instead_of_refusing(arts, tmp_path):
+    """A legacy bare-list _manifest.json carries no run identity: the
+    export must treat it like a corrupt manifest (clean unmanifested dirs,
+    rewrite everything) rather than raising — re-exporting the identical
+    article set into a pre-upgrade output dir must just work."""
+    out = str(tmp_path / "docs")
+    written = write_documents(arts, out)
+    assert written
+    manifest_path = os.path.join(out, "_manifest.json")
+    parts = json.load(open(manifest_path))["parts"]
+    with open(manifest_path, "w") as f:
+        json.dump(parts, f)  # downgrade to the legacy bare-list shape
+    rewritten = write_documents(arts, out)  # no RuntimeError
+    assert len(rewritten) == len(parts)  # no resume info → full rewrite
+    assert sorted(json.load(open(manifest_path))["parts"]) == sorted(parts)
+    assert read_documents(out).num_rows == arts.num_rows
+
+
+def test_run_fingerprint_content_sensitive(arts, tmp_path):
+    """Two article sets with the IDENTICAL discovered_seq population but
+    different content must fingerprint as different runs (else finished
+    partitions holding stale rows are silently skipped on re-export)."""
+    import pyarrow as pa
+
+    out = str(tmp_path / "docs")
+    write_documents(arts, out)
+    i = arts.column_names.index("url")
+    urls = arts["url"].to_pylist()
+    urls[0] = urls[0] + "?v=2"  # same seq population, one changed row
+    changed = arts.set_column(i, "url", pa.array(urls, arts.schema.field("url").type))
+    with pytest.raises(RuntimeError, match="DIFFERENT run"):
+        write_documents(changed, out)
+
+
+def test_day_grouped_export_ds_matches_table_path(arts, tmp_path):
+    """The distributed per-site writers must produce byte-identical JSON to
+    the driver (reference-parity) path."""
+    import ray.data as rd
+
+    from newsray.sink import day_grouped_export_ds
+
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "ds")
+    p1 = day_grouped_export(arts, d1)
+    p2 = day_grouped_export_ds(rd.from_arrow(arts), d2)
+    assert set(p1) == set(p2) == set(SITES)
+    for site in SITES:
+        with open(p1[site], "rb") as a, open(p2[site], "rb") as b:
+            assert a.read() == b.read(), site
