@@ -616,7 +616,11 @@ class CrawlPipeline:
         # one buffer actor PER fuzzy site (the scan is per-site sequential;
         # per-site actors bound RSS via spill and scan sites in parallel)
         self.fuzzy_bufs: dict[str, "ray.actor.ActorHandle"] = {
-            s: FuzzyTitleBuffer.remote(s, spill_rows=cfg.fuzzy_spill_rows)
+            s: FuzzyTitleBuffer.remote(
+                s,
+                spill_rows=cfg.fuzzy_spill_rows,
+                fuzzy_threshold=SITES[s].fuzzy_threshold,
+            )
             for s in self._fuzzy_sites.to_pylist()
         }
         self.retracted_seqs: set[int] = set()
@@ -1203,7 +1207,10 @@ class CrawlPipeline:
             return b.select(ARTICLE_COLS).cast(ARTS_SCHEMA)
 
         arts_ds = docs_ds.map_batches(final_filter, batch_format="pyarrow")
-        documents_ds = arts_ds.map_batches(_spans_batch, batch_format="pyarrow")
+        _hs = {s: c.has_summary for s, c in SITES.items()}  # driver snapshot
+        documents_ds = arts_ds.map_batches(
+            lambda b, hs=_hs: _spans_batch(b, hs), batch_format="pyarrow"
+        )
         return RunResult(
             {
                 "articles_ds": arts_ds,
@@ -1287,7 +1294,7 @@ def _fuzzy_scan_tables(tables: list[pa.Table], drop: frozenset) -> "np.ndarray":
     return np.asarray(accepted, dtype=np.int64)
 
 
-def _fuzzy_scan_runs(site: str, runs: list, drop: frozenset) -> "np.ndarray":
+def _fuzzy_scan_runs(thr: int, runs: list, drop: frozenset) -> "np.ndarray":
     """The per-site sequential first-accepted-wins scan over a k-way MERGE
     of seq-sorted runs (spill files + the in-memory tail): the scan's input
     never concatenates into one table, so scan memory is bounded by the
@@ -1300,7 +1307,6 @@ def _fuzzy_scan_runs(site: str, runs: list, drop: frozenset) -> "np.ndarray":
 
     import numpy as np
 
-    thr = SITES[site].fuzzy_threshold
     mem: list[str] = []
     mem_exact: set[str] = set()
     prev = None
@@ -1332,8 +1338,16 @@ class FuzzyTitleBuffer:
     task slots at small cluster sizes."""
 
     def __init__(self, site: str, spill_dir: str | None = None,
-                 spill_rows: int = 1 << 20):
+                 spill_rows: int = 1 << 20, fuzzy_threshold: int | None = None):
         self.site = site
+        # threshold is passed IN by the driver (which sees dynamically
+        # registered plugin sites in SITES) — this actor process's module
+        # copy may never have seen the registration
+        self.fuzzy_threshold = (
+            fuzzy_threshold
+            if fuzzy_threshold is not None
+            else SITES[site].fuzzy_threshold
+        )
         self.spill_rows = spill_rows
         self._spill_dir = spill_dir  # created lazily on first spill
         self._tables: list[pa.Table] = []
@@ -1391,7 +1405,7 @@ class FuzzyTitleBuffer:
                     )
                 )
             )
-        return _fuzzy_scan_runs(self.site, runs, frozenset(drop))
+        return _fuzzy_scan_runs(self.fuzzy_threshold, runs, frozenset(drop))
 
 
 def _fuzzy_pass(arts: pa.Table) -> pa.Table:
@@ -1419,11 +1433,17 @@ def _fuzzy_pass(arts: pa.Table) -> pa.Table:
     return arts.filter(pa.array(keep, pa.bool_()))
 
 
-def _spans_batch(b: pa.Table) -> pa.Table:
+def _spans_batch(b: pa.Table, has_summary: dict | None = None) -> pa.Table:
     """Flat article rows → interleaved span rows, built COLUMNARLY: flat
     kind/text/media_ref/offset arrays + one ListArray.from_arrays — ~6× the
     per-row dict construction (`extract.article_spans` stays the semantic
-    definition; conformance tests assert byte-equality against it)."""
+    definition; conformance tests assert byte-equality against it).
+
+    ``has_summary`` is the site→flag map captured in the DRIVER process:
+    when this runs as a worker-side map_batches UDF, dynamically registered
+    plugin sites exist only in the driver's SITES dict, so the caller must
+    snapshot it (falls back to this process's SITES for driver-local
+    calls)."""
     from .schema import DOCUMENTS, SPAN_STRUCT
 
     n = b.num_rows
@@ -1431,6 +1451,11 @@ def _spans_batch(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {"doc_id": [], "spans": []}, schema=DOCUMENTS
         )
+    _hs = (
+        has_summary
+        if has_summary is not None
+        else {s: c.has_summary for s, c in SITES.items()}
+    )
     sites = b["site"].to_pylist()
     titles = b["title"].to_pylist()
     times = b["time"].to_pylist()
@@ -1447,7 +1472,7 @@ def _spans_batch(b: pa.Table) -> pa.Table:
         k = 0
         kinds.append("title"); texts.append(titles[i]); refs.append(""); offs.append(k); k += 1
         kinds.append("time"); texts.append(times[i].isoformat()); refs.append(""); offs.append(k); k += 1
-        if SITES[sites[i]].has_summary and summaries[i]:
+        if _hs[sites[i]] and summaries[i]:
             kinds.append("summary"); texts.append(summaries[i]); refs.append(""); offs.append(k); k += 1
         if imgs[i]:
             kinds.append("image"); texts.append(""); refs.append(imgs[i]); offs.append(k); k += 1
@@ -1476,10 +1501,15 @@ def articles_to_documents(arts: pa.Table) -> pa.Table:
     from .schema import DOCUMENTS
 
     if arts.num_rows > 20000 and ray.is_initialized():
+        hs = {s: c.has_summary for s, c in SITES.items()}  # driver snapshot
         ds = (
             ray.data.from_arrow(arts)
             .repartition(16)
-            .map_batches(_spans_batch, batch_format="pyarrow", batch_size=8192)
+            .map_batches(
+                lambda b: _spans_batch(b, hs),
+                batch_format="pyarrow",
+                batch_size=8192,
+            )
         )
         return _collect(ds, DOCUMENTS)
     return _spans_batch(arts)

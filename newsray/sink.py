@@ -273,8 +273,10 @@ def write_documents_ds(arts_ds, out_dir: str) -> None:
     done = _resume_parts(out_dir, run_id)
     _clean_unmanifested(out_dir, done)
 
+    _hs = {s: c.has_summary for s, c in SITES.items()}  # driver snapshot
+
     def spans_with_partition(b: pa.Table) -> pa.Table:
-        docs = _spans_batch(b)
+        docs = _spans_batch(b, _hs)
         sites = b["site"].to_pylist()
         day = [_day_key(d) for d in b["date_group"].to_pylist()]
         t = docs.append_column("site", b["site"]).append_column(
