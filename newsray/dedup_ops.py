@@ -613,7 +613,7 @@ def dedup_embedding_cosine(sf_dir: str):
     B = emb_grid_buckets(ds.count())
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = ids & (B - 1)
         n = len(ids)
         # one emission per (vector, other-bucket): cell = sorted pair
