@@ -195,8 +195,23 @@ def _planes(dim: int) -> np.ndarray:
 
 
 def _signature(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit pack: works for float vecs AND exact int64 embeddings (the
+    bool × int64 products and sum stay integral) — `ragprep` shares it."""
     bits = (vecs @ planes.T) > 0
     return (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+
+
+def probe_set(sig: int) -> set[int]:
+    """Multiprobe: the signature plus all Hamming-≤2 neighbors. The ONE
+    home for the probe-radius policy — `knn_lsh_cosine`, the persisted
+    index probe, and `ragprep`'s pruned chunk probe all enumerate buckets
+    through it, so index layout and probe set cannot silently diverge."""
+    out = {sig}
+    for i in range(N_PLANES):
+        out.add(sig ^ (1 << i))
+        for j in range(i + 1, N_PLANES):
+            out.add(sig ^ (1 << i) ^ (1 << j))
+    return out
 
 
 from .golden import golden_sql
@@ -212,12 +227,7 @@ def knn_lsh_cosine(sf_dir: str):
     q = _load_query(sf_dir)
     planes = _planes(q.shape[0])
     qsig = int(_signature(q[None, :], planes)[0])
-    probe = {qsig}
-    for i in range(N_PLANES):
-        probe.add(qsig ^ (1 << i))
-        for j in range(i + 1, N_PLANES):
-            probe.add(qsig ^ (1 << i) ^ (1 << j))  # Hamming ≤ 2 multiprobe
-    probe_arr = pa.array(sorted(probe), pa.int64())
+    probe_arr = pa.array(sorted(probe_set(qsig)), pa.int64())
     qref = ray.put(q)
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -330,11 +340,7 @@ def knn_lsh_indexed(sf_dir: str):
     q = _load_query(sf_dir)
     planes = _planes(q.shape[0])
     qsig = int(_signature(q[None, :], planes)[0])
-    probe = {qsig}
-    for i in range(N_PLANES):
-        probe.add(qsig ^ (1 << i))
-        for j in range(i + 1, N_PLANES):
-            probe.add(qsig ^ (1 << i) ^ (1 << j))
+    probe = probe_set(qsig)
 
     idx = build_lsh_index(
         sf_dir,

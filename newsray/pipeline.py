@@ -1234,7 +1234,44 @@ class RunResult(dict):
     ``documents``, ``fetch_log``) are computed ON FIRST ACCESS and cached —
     so ``run()`` can default to the streaming finalize while driver-side
     materialization stays strictly opt-in (a scale consumer that only reads
-    the ``*_ds`` keys never triggers a collect)."""
+    the ``*_ds`` keys never triggers a collect).
+
+    The lazy keys behave like real entries for every dict idiom, not just
+    ``[]``: ``in`` / ``get`` / iteration / ``len`` / ``keys`` all see them
+    (``in``/``keys``/``len`` without materializing; ``get``/``items``/
+    ``values`` materialize like ``[]`` does — they hand out the value).
+    One caveat a subclass cannot fix: a RAW ``dict(res)`` copy uses
+    CPython's dict fast path and sees only realized entries — copy with
+    ``{k: res[k] for k in res}`` if the legacy keys must ride along."""
+
+    _LAZY = ("articles", "documents", "fetch_log")
+
+    def __contains__(self, key) -> bool:
+        return dict.__contains__(self, key) or key in self._LAZY
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __iter__(self):
+        yield from dict.__iter__(self)
+        yield from (k for k in self._LAZY if not dict.__contains__(self, k))
+
+    def __len__(self) -> int:
+        return dict.__len__(self) + sum(
+            1 for k in self._LAZY if not dict.__contains__(self, k)
+        )
+
+    def keys(self):
+        return list(self)
+
+    def items(self):
+        return [(k, self[k]) for k in self]
+
+    def values(self):
+        return [self[k] for k in self]
 
     def __missing__(self, key):
         if key == "articles":

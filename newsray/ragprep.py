@@ -37,7 +37,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .ann import N_PLANES, PREFIX_BITS
+from .ann import N_PLANES, PREFIX_BITS, probe_set
+from .ann import _signature as signatures  # shared sign-bit pack (exact on int64)
 from .golden import golden_sql
 from .registry import register
 from .textan import CHUNK_STRIDE, CHUNK_TOKENS
@@ -72,22 +73,6 @@ def embed_tokens(tokens: list[str], cache: dict | None = None) -> np.ndarray:
             tv = token_vec(t)
         v += tv
     return v
-
-
-def signatures(embs: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """LSH signatures of int64 embeddings (rows) — exact int matmul."""
-    bits = (embs @ planes.T) > 0
-    return (bits.astype(np.int64) << np.arange(N_PLANES, dtype=np.int64)).sum(axis=1)
-
-
-def probe_set(sig: int) -> set[int]:
-    """Multiprobe: the query signature plus all Hamming-≤2 neighbors."""
-    out = {sig}
-    for i in range(N_PLANES):
-        out.add(sig ^ (1 << i))
-        for j in range(i + 1, N_PLANES):
-            out.add(sig ^ (1 << i) ^ (1 << j))
-    return out
 
 
 class StubEmbedder:

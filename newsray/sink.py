@@ -89,18 +89,24 @@ def _load_manifest(out_dir: str) -> tuple[str | None, frozenset[str]]:
         return None, frozenset()
 
 
-def _resume_parts(out_dir: str, run_id: str | None) -> frozenset[str]:
+def _resume_parts(
+    out_dir: str, run_id: str | None, legacy_ids: tuple[str, ...] = ()
+) -> frozenset[str]:
     """Partitions safe to skip for THIS run: the manifest's list when its
     run_id matches. A legacy bare-list manifest (run_id None) carries no
     run identity, so it is treated like a corrupt one: no resume info →
     rewrite everything (callers clean unmanifested partition dirs first,
-    which makes the full rewrite duplicate-safe). A manifest from a
-    DIFFERENT identified run refuses loudly — silently skipping its
-    partitions would drop the new run's rows that fall into them, and
-    rewriting around them would leave the old run's extra partitions mixed
-    into the output."""
+    which makes the full rewrite duplicate-safe); a pre-csum dict manifest
+    whose run_id matches ``legacy_ids`` (same seq population, content
+    unfingerprinted) gets the same treatment — rewrite, don't refuse. A
+    manifest from a DIFFERENT identified run refuses loudly — silently
+    skipping its partitions would drop the new run's rows that fall into
+    them, and rewriting around them would leave the old run's extra
+    partitions mixed into the output."""
     stored, parts = _load_manifest(out_dir)
     if not parts or stored is None:
+        return frozenset()
+    if stored in legacy_ids:
         return frozenset()
     if stored != run_id:
         raise RuntimeError(
@@ -179,6 +185,17 @@ def run_fingerprint(n: int, lo, hi, total, csum: int = 0) -> str:
     return _h.blake2b(raw, digest_size=8).hexdigest()
 
 
+def _legacy_fingerprint(n: int, lo, hi, total) -> str:
+    """The pre-csum run identity (seq population only). A manifest bearing
+    it for the same seq stats is a pre-upgrade export of rows that MAY
+    match this run's — content was not fingerprinted then, so there is no
+    sound resume: callers treat it like the bare-list legacy shape (no
+    skip-list → clean + idempotent full rewrite), never a refusal."""
+    import hashlib as _h
+
+    return _h.blake2b(f"{n}:{lo}:{hi}:{total}".encode(), digest_size=8).hexdigest()
+
+
 def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
     """Write interleaved documents partitioned by (site, date_group digest).
 
@@ -192,14 +209,11 @@ def write_documents(arts: pa.Table, out_dir: str) -> list[str]:
     duplicates)."""
     os.makedirs(out_dir, exist_ok=True)
     seqs = arts["discovered_seq"].to_pylist() if arts.num_rows else []
+    stats = (len(seqs), min(seqs, default=0), max(seqs, default=0), sum(seqs))
     run_id = run_fingerprint(
-        len(seqs),
-        min(seqs, default=0),
-        max(seqs, default=0),
-        sum(seqs),
-        _row_content_hashes(arts) if arts.num_rows else 0,
+        *stats, _row_content_hashes(arts) if arts.num_rows else 0
     )
-    done = _resume_parts(out_dir, run_id)
+    done = _resume_parts(out_dir, run_id, legacy_ids=(_legacy_fingerprint(*stats),))
     # dirs on disk but not resumable are a crashed write's leftovers or a
     # legacy (identity-less) export: remove so the rewrite can't mix rows
     _clean_unmanifested(out_dir, done)
@@ -262,15 +276,20 @@ def write_documents_ds(arts_ds, out_dir: str) -> None:
         )
 
     parts_df = arts_ds.map_batches(fp_partial, batch_format="pyarrow").to_pandas()
-    live = parts_df[parts_df["n"] > 0]
-    run_id = run_fingerprint(
-        int(parts_df["n"].sum()),
+    live = parts_df[parts_df["n"] > 0] if "n" in parts_df.columns else parts_df
+    stats = (
+        int(parts_df["n"].sum()) if "n" in parts_df.columns else 0,
         int(live["lo"].min()) if len(live) else 0,
         int(live["hi"].max()) if len(live) else 0,
-        int(parts_df["total"].sum()),
-        int(sum(int(c) for c in parts_df["csum"]) % _FP_MOD),
+        int(parts_df["total"].sum()) if "total" in parts_df.columns else 0,
     )
-    done = _resume_parts(out_dir, run_id)
+    run_id = run_fingerprint(
+        *stats,
+        int(sum(int(c) for c in parts_df["csum"]) % _FP_MOD)
+        if "csum" in parts_df.columns
+        else 0,
+    )
+    done = _resume_parts(out_dir, run_id, legacy_ids=(_legacy_fingerprint(*stats),))
     _clean_unmanifested(out_dir, done)
 
     _hs = {s: c.has_summary for s, c in SITES.items()}  # driver snapshot
@@ -329,14 +348,23 @@ def read_documents(out_dir: str) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
-def _site_payload(site: str, df) -> list[dict]:
+def _site_payload(site: str, df, flags: tuple[bool, bool] | None = None) -> list[dict]:
     """One site's day-grouped JSON payload (K1 shape): day groups sorted by
     date label; articles time-desc inside a group for sort-in-group sites,
-    discovery order otherwise; iso times; absent summary omitted."""
-    cfg = SITES[site]
+    discovery order otherwise; iso times; absent summary omitted.
+
+    ``flags`` = (sort_in_group, has_summary) — REQUIRED when called inside
+    a Ray worker: the worker's module-level SITES lacks dynamically
+    registered plugin sites (same failure mode as `_spans_batch` /
+    `FuzzyTitleBuffer`, fixed 9c316da), so callers snapshot the config on
+    the driver and ship it in the closure. Driver-side callers may omit it."""
+    sort_in_group, has_summary = (
+        flags if flags is not None
+        else (SITES[site].sort_in_group, SITES[site].has_summary)
+    )
     entries = []
     for dg, g in sorted(df.groupby("date_group"), key=lambda kv: kv[0]):
-        if cfg.sort_in_group:
+        if sort_in_group:
             g = g.sort_values("time", ascending=False, kind="mergesort")
         else:
             g = g.sort_values("discovered_seq", kind="mergesort")
@@ -349,7 +377,7 @@ def _site_payload(site: str, df) -> list[dict]:
                 "url": a["url"],
                 "original_url": a["original_url"],
             }
-            if cfg.has_summary and a.get("summary"):
+            if has_summary and a.get("summary"):
                 rec["summary"] = a["summary"]
             arts_list.append(rec)
         entries.append({"date": dg, "articles": arts_list})
@@ -407,10 +435,15 @@ def day_grouped_export_ds(arts_ds, out_dir: str) -> dict[str, str]:
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
+    # driver snapshot: workers' module-level SITES lacks dynamically
+    # registered plugin sites (the _spans_batch fix pattern, 9c316da)
+    site_flags = {s: (c.sort_in_group, c.has_summary) for s, c in SITES.items()}
 
     def write_site(g: pd.DataFrame) -> pa.Table:
         site = str(g["site"].iloc[0])
-        path = _write_site_json(out_dir, site, _site_payload(site, g))
+        path = _write_site_json(
+            out_dir, site, _site_payload(site, g, flags=site_flags[site])
+        )
         return pa.Table.from_pydict(
             {"site": pa.array([site], pa.string()), "path": pa.array([path], pa.string())}
         )
@@ -420,7 +453,11 @@ def day_grouped_export_ds(arts_ds, out_dir: str) -> dict[str, str]:
         .map_groups(write_site, batch_format="pandas")
         .to_pandas()  # O(sites) rows
     )
-    paths = dict(zip(got["site"], got["path"]))
+    # zero-article dataset → empty, schema-less groupby result (exercised
+    # by fully-seen re-crawls): no written paths, only the K2 empty files
+    paths = (
+        dict(zip(got["site"], got["path"])) if "site" in got.columns else {}
+    )
     for site in SITES:  # K2: empty sites still get a well-formed file
         if site not in paths:
             paths[site] = _write_site_json(out_dir, site, [])

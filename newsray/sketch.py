@@ -236,6 +236,7 @@ def golden_approx_value_quantiles_daily(sf_dir: str) -> pa.Table:
 EXACT_QS = ((50, 0.50), (90, 0.90), (99, 0.99))
 _SEL_P = 64  # pivot samples per batch per active quantile
 _SEL_CAP = 262_144  # max interior rows fetched by a COLLECT pass
+_SEL_ROUNDS = 8  # narrowing rounds before the bracket-sort fallback
 
 
 @register(
@@ -255,9 +256,13 @@ def value_percentiles(sf_dir: str):
     sort plan with O(rounds) streaming column scans whose outputs are
     O(batches × pivots) scalars.
 
-    Plan per round (all active quantiles share every pass):
+    Plan per round (active quantiles share every pass, and quantiles whose
+    brackets coincide — all three in round 1 by construction — share ONE
+    bracket's sample/rank work):
       1. SAMPLE pass — each batch sorts its in-bracket values locally and
          emits ≤``_SEL_P`` evenly-spaced pivots + its count (tiny rows).
+         Round 1 additionally counts the non-finite population (−inf /
+         +inf / NaN) once per batch.
       2. RANK pass — with the merged distinct pivot list broadcast in the
          closure, each batch emits ``searchsorted`` left/right ranks of
          every pivot (one fixed-size int row per batch); the driver sums
@@ -269,38 +274,54 @@ def value_percentiles(sf_dir: str):
          rows. Brackets under ``_SEL_CAP`` go to one COLLECT pass (fetch
          the few interior values, local sort, index k − rank_le(lo));
          larger ones re-enter round 1 restricted to the bracket.
+    A quantile still unresolved after ``_SEL_ROUNDS`` (possible only when
+    the interior floor — one pivot gap per batch — exceeds the collect
+    cap, i.e. block count ≈ _SEL_CAP) falls back to a distributed sort OF
+    ITS BRACKET ONLY plus metadata-offset selection: exact, bounded by the
+    bracket size, and loud about nothing — never a silent null.
 
     DuckDB's ``quantile_disc`` selects the element at ``ceil(q*n) − 1`` in
     value order over NON-NULL values (verified empirically incl. duplicate
     runs); nulls are dropped inside every pass so the offset arithmetic
-    matches the oracle's population, and the selection index is identical,
-    so the hash gate is exact."""
+    matches the oracle's population. Non-finite values follow the engine's
+    ORDER BY total order (−inf < finite < +inf < NaN): the round-1 counts
+    short-circuit targets landing in a non-finite run, and the selection
+    recursion runs over the finite population only. ±inf parity with
+    DuckDB is exact (IEEE comparisons); NaN placement is a convention —
+    DuckDB's quantile_disc itself is comparator-unstable when NaNs are
+    present (observed: k=3→−inf, k=4→NaN, k=6→−inf on one table), so
+    there is no well-defined oracle to match there. An empty (or all-null)
+    population returns one all-NULL row, as the SQL aggregate does."""
     ds = read(sf_dir, "events", ["value"])
 
-    # state per quantile label: [k_remaining, lo, hi, resolved_value]
-    # target = (k_remaining)-th 0-based value among {v : lo < v < hi}
+    # state per quantile label:
+    #   [k_remaining, lo, hi, resolved_value, collectable, done]
+    # target = (k_remaining)-th 0-based FINITE value in {v : lo < v < hi}
     state: dict[int, list] = {}
     first = True
 
-    for _round in range(8):
-        active = (
-            [(lbl, -np.inf, np.inf) for lbl, _ in EXACT_QS]
-            if first
-            else [
+    for _round in range(_SEL_ROUNDS):
+        if first:
+            need = [(lbl, -np.inf, np.inf) for lbl, _ in EXACT_QS]
+        else:
+            need = [
                 (lbl, st[1], st[2])
                 for lbl, st in state.items()
-                if st[3] is None and not st[4]
+                if not st[5] and not st[4]
             ]
-        )
-        if not first and not active:
-            break
-        brackets = [(float(lo), float(hi)) for _, lo, hi in active]
+            if not need:
+                break
+        # identical brackets (all of round 1; coinciding quantiles later)
+        # are sampled/ranked ONCE: qi indexes the distinct bracket list
+        brackets = sorted({(float(lo), float(hi)) for _, lo, hi in need})
+        br_of = {lbl: brackets.index((float(lo), float(hi))) for lbl, lo, hi in need}
 
-        def sample(b: pa.Table, brs=tuple(brackets)) -> pa.Table:
+        def sample(b: pa.Table, brs=tuple(brackets), count_nonfin=first) -> pa.Table:
             v = pc.drop_null(b["value"]).to_numpy(zero_copy_only=False)
+            fin = v[np.isfinite(v)]
             qi_out, piv_out, cnt_out = [], [], []
             for i, (lo, hi) in enumerate(brs):
-                s = np.sort(v[(v > lo) & (v < hi)])
+                s = np.sort(fin[(fin > lo) & (fin < hi)])
                 take = min(_SEL_P, len(s))
                 idx = (
                     np.linspace(0, len(s) - 1, take).astype(np.int64)
@@ -310,22 +331,34 @@ def value_percentiles(sf_dir: str):
                 qi_out.append(i)
                 piv_out.append(s[idx])
                 cnt_out.append(len(s))
-            return pa.table(
-                {
-                    "qi": pa.array(qi_out, pa.int64()),
-                    "cnt": pa.array(cnt_out, pa.int64()),
-                    "pivots": pa.array(
-                        [p.tolist() for p in piv_out], pa.list_(pa.float64())
-                    ),
-                }
-            )
+            t = {
+                "qi": pa.array(qi_out, pa.int64()),
+                "cnt": pa.array(cnt_out, pa.int64()),
+                "pivots": pa.array(
+                    [p.tolist() for p in piv_out], pa.list_(pa.float64())
+                ),
+            }
+            if count_nonfin:  # round 1 only: the −inf/+inf/NaN population
+                t["n_neg"] = pa.array([int(np.sum(v == -np.inf))] * len(qi_out))
+                t["n_pos"] = pa.array([int(np.sum(v == np.inf))] * len(qi_out))
+                t["n_nan"] = pa.array([int(np.sum(np.isnan(v)))] * len(qi_out))
+            return pa.table(t)
 
         samp = (
             ds.map_batches(sample, batch_format="pyarrow").to_pandas()
-        )  # O(batches × active) tiny rows
+        )  # O(batches × brackets) tiny rows
+        if "qi" not in samp.columns:  # zero-block input: schema-less empty
+            samp = pd.DataFrame(
+                {"qi": pd.Series([], dtype="int64"),
+                 "cnt": pd.Series([], dtype="int64"),
+                 "pivots": pd.Series([], dtype="object"),
+                 "n_neg": pd.Series([], dtype="int64"),
+                 "n_pos": pd.Series([], dtype="int64"),
+                 "n_nan": pd.Series([], dtype="int64")}
+            )
         pivots: list[np.ndarray] = []
         counts: list[int] = []
-        for i in range(len(active)):
+        for i in range(len(brackets)):
             part = samp[samp["qi"] == i]
             counts.append(int(part["cnt"].sum()))
             merged = (
@@ -336,20 +369,43 @@ def value_percentiles(sf_dir: str):
             pivots.append(merged)
 
         if first:
-            n = counts[0]
+            part0 = samp[samp["qi"] == 0]
+            n_neg = int(part0["n_neg"].sum())
+            n_pos = int(part0["n_pos"].sum())
+            n_nan = int(part0["n_nan"].sum())
+            n_fin = counts[0]
+            n = n_neg + n_fin + n_pos + n_nan
             for (lbl, q) in EXACT_QS:
+                # [k_rem, lo, hi, resolved, collectable, done]
+                st = [0, -np.inf, np.inf, None, False, False]
+                state[lbl] = st
+                if n == 0:  # empty population: NULL, like the SQL aggregate
+                    st[5] = True
+                    continue
                 k = max(0, int(np.ceil(q * n)) - 1)
-                # [k_rem, lo, hi, resolved, collectable]
-                state[lbl] = [k, -np.inf, np.inf, None, False]
+                # DuckDB total order: −inf < finite < +inf < NaN
+                if k < n_neg:
+                    st[3], st[5] = float(-np.inf), True
+                elif k < n_neg + n_fin:
+                    st[0] = k - n_neg  # select within the finite run
+                elif k < n_neg + n_fin + n_pos:
+                    st[3], st[5] = float(np.inf), True
+                else:
+                    st[3], st[5] = float(np.nan), True
             first = False
+            if all(st[5] for st in state.values()):
+                break
+            # quantiles resolved by the non-finite runs leave the bracket
+            # list over-complete only in round 1 (all brackets coincide)
 
         def ranks(b: pa.Table, brs=tuple(brackets), pvs=tuple(
             tuple(p.tolist()) for p in pivots
         )) -> pa.Table:
             v = pc.drop_null(b["value"]).to_numpy(zero_copy_only=False)
+            fin = v[np.isfinite(v)]
             qi_out, le_out, lt_out = [], [], []
             for i, (lo, hi) in enumerate(brs):
-                s = np.sort(v[(v > lo) & (v < hi)])
+                s = np.sort(fin[(fin > lo) & (fin < hi)])
                 p = np.asarray(pvs[i])
                 qi_out.append(i)
                 le_out.append(np.searchsorted(s, p, side="right").tolist())
@@ -363,19 +419,22 @@ def value_percentiles(sf_dir: str):
             )
 
         rk = ds.map_batches(ranks, batch_format="pyarrow").to_pandas()
-        for i, (lbl, blo, bhi) in enumerate(active):
+        for lbl, _blo, bhi in need:
             st = state[lbl]
+            if st[5]:  # resolved by the round-1 non-finite short-circuit
+                continue
+            i = br_of[lbl]
             part = rk[rk["qi"] == i]
             p = pivots[i]
             if len(p) == 0:  # empty bracket: duplicate endpoint resolved it
-                st[3] = float(bhi)
+                st[3], st[5] = float(bhi), True
                 continue
             rank_le = np.sum(np.stack(part["le"].to_numpy()), axis=0)
             rank_lt = np.sum(np.stack(part["lt"].to_numpy()), axis=0)
             k = st[0]
             hit = (rank_lt <= k) & (k < rank_le)
             if hit.any():
-                st[3] = float(p[int(np.argmax(hit))])
+                st[3], st[5] = float(p[int(np.argmax(hit))]), True
                 continue
             # lo: max pivot with rank_le ≤ k (else bracket lo); hi: min
             # pivot with rank_le > k (exists: rank_le[-1] = bracket count
@@ -390,16 +449,19 @@ def value_percentiles(sf_dir: str):
             st[4] = interior <= _SEL_CAP
 
         to_collect = [
-            (lbl, st[1], st[2]) for lbl, st in state.items() if st[3] is None and st[4]
+            (lbl, st[1], st[2])
+            for lbl, st in state.items()
+            if not st[5] and st[4]
         ]
         if to_collect:
             cbr = tuple((float(lo), float(hi)) for _, lo, hi in to_collect)
 
             def collect(b: pa.Table, brs=cbr) -> pa.Table:
                 v = pc.drop_null(b["value"]).to_numpy(zero_copy_only=False)
+                fin = v[np.isfinite(v)]
                 qi_out, v_out = [], []
                 for i, (lo, hi) in enumerate(brs):
-                    m = v[(v > lo) & (v < hi)]
+                    m = fin[(fin > lo) & (fin < hi)]
                     qi_out.append(np.full(len(m), i, dtype=np.int64))
                     v_out.append(m)
                 return pa.table(
@@ -415,7 +477,46 @@ def value_percentiles(sf_dir: str):
             for i, (lbl, _, _) in enumerate(to_collect):
                 vals = np.sort(got.loc[got["qi"] == i, "value"].to_numpy())
                 state[lbl][3] = float(vals[state[lbl][0]])
+                state[lbl][5] = True
+
+    # loud exact fallback (reachable only when the interior floor of one
+    # pivot gap per batch exceeds _SEL_CAP, i.e. ~262k input blocks):
+    # distributed sort of the BRACKET ONLY + metadata-offset selection —
+    # never a silent null for a non-empty population
+    for lbl, st in state.items():
+        if not st[5]:
+            st[3] = _bracket_sort_select(ds, st[1], st[2], st[0])
+            st[5] = True
 
     return pa.table(
         {f"p{lbl}": pa.array([state[lbl][3]], pa.float64()) for lbl, _ in EXACT_QS}
+    )
+
+
+def _bracket_sort_select(ds, lo: float, hi: float, k: int) -> float:
+    """Exact (k)-th 0-based finite value in the open bracket (lo, hi) by a
+    distributed sort of the bracket's rows only: filter → range sort →
+    per-block counts from BLOCK METADATA (O(blocks) ints on the driver) →
+    fetch the one block holding offset k."""
+    import ray
+
+    def in_bracket(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
+        v = pc.drop_null(b["value"]).to_numpy(zero_copy_only=False)
+        m = v[np.isfinite(v) & (v > lo) & (v < hi)]
+        return pa.table({"value": pa.array(m.astype(np.float64), pa.float64())})
+
+    sub = ds.map_batches(in_bracket, batch_format="pyarrow").sort("value").materialize()
+    off = int(k)
+    for bundle in sub.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            cnt = int(meta.num_rows)
+            if off < cnt:
+                blk = ray.get(ref)
+                if not isinstance(blk, pa.Table):
+                    blk = pa.Table.from_pandas(blk, preserve_index=False)
+                return float(blk["value"][off].as_py())
+            off -= cnt
+    raise RuntimeError(
+        f"bracket selection ran past the data (k={k}, bracket=({lo}, {hi})) — "
+        "rank bookkeeping is inconsistent"
     )

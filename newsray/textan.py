@@ -770,3 +770,147 @@ def doc_chunks(sf_dir: str):
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII / denylist scrubbing (the redaction gate every release pipeline runs)
+# ---------------------------------------------------------------------------
+
+# RE2 on BOTH sides: pyarrow's replace/count_substring_regex kernels and
+# DuckDB's regexp_* are RE2-backed, so the oracle comparison is exact.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{2,4}[-.]\d{3,4}[-.]\d{4}\b"
+PII_ENTITY = r"\b(customer|user|line)\b"  # denylist terms (fire on this corpus)
+_PII_RULES = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_PHONE, "<PHONE>"),
+    (PII_ENTITY, "<ENT>"),
+)
+
+
+@register(
+    "doc_pii_redact",
+    sql=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+               '{PII_ENTITY}', '<ENT>', 'g') AS clean_text,
+           length(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+           length(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone,
+           length(regexp_extract_all(text, '{PII_ENTITY}')) AS n_entity
+    FROM documents
+    """,
+)
+def doc_pii_redact(sf_dir: str):
+    """PII / denylist scrubbing: emails → <EMAIL>, phone shapes → <PHONE>,
+    denylist terms → <ENT>, plus per-class match counts (counted on the
+    ORIGINAL text, replaced in rule order — the SQL mirrors both choices).
+    One embarrassingly-parallel vectorized pass: three compiled RE2 kernels
+    per batch, no shuffle, no state — the shape of every redaction /
+    normalization gate a 100-TB release run applies to all text. The
+    email/phone rules are the realistic payload; the denylist rule is what
+    actually fires on the synthetic corpus, keeping the oracle comparison
+    non-trivial."""
+    import pyarrow.compute as pc
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        clean = t
+        for pat, rep in _PII_RULES:
+            clean = pc.replace_substring_regex(clean, pattern=pat, replacement=rep)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"],
+                "clean_text": clean,
+                "n_email": pc.cast(
+                    pc.count_substring_regex(t, pattern=PII_EMAIL), pa.int64()
+                ),
+                "n_phone": pc.cast(
+                    pc.count_substring_regex(t, pattern=PII_PHONE), pa.int64()
+                ),
+                "n_entity": pc.cast(
+                    pc.count_substring_regex(t, pattern=PII_ENTITY), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# seeded deterministic epoch shuffle (training-data ordering)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 99991
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+
+
+@register(
+    "deterministic_shuffle",
+    sql=f"""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY (CAST(doc_id AS HUGEINT) * {_KNUTH} + {SHUFFLE_SEED})
+                      % 4294967296,
+                      doc_id
+           ) - 1 AS shuffle_pos
+    FROM documents
+    """,
+)
+def deterministic_shuffle(sf_dir: str):
+    """Seeded REPRODUCIBLE global shuffle — the epoch-reshuffle a training
+    run needs (`random_shuffle` is not replayable across runs/resumes;
+    a hash order is): shuffle_pos = global rank under the Knuth
+    multiplicative hash key (doc_id·2654435761 + seed) mod 2³², ties by
+    doc_id. Same distributed-prefix shape as `pack_sequences`, keyed by the
+    HASH instead of doc_id: the key is uniform on [0, 2³²) by construction,
+    so range-partitioning it needs no sampled bounds even when doc_id is
+    skewed. One tiny aggregate (O(buckets) counts to the driver) + one
+    keyed exchange; only (part, key, doc_id) int rows ever shuffle.
+
+    uint64 arithmetic is exact for the low 32 bits at ANY doc_id (wraparound
+    mod 2⁶⁴ preserves the value mod 2³²); the oracle casts to HUGEINT for
+    the same product, so the two sides agree at every scale."""
+    from ray.data.aggregate import Count
+
+    from .tabular import from_pandas_clean, n_buckets
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    nb = n_buckets(size_bytes=ds.size_bytes())
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (ids * np.uint64(_KNUTH) + np.uint64(SHUFFLE_SEED)) % np.uint64(1 << 32)
+        part = (key * np.uint64(nb)) >> np.uint64(32)  # key < 2³², nb ≤ 2³²
+        return pa.Table.from_pydict(
+            {
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+                "key": pa.array(key.astype(np.int64), pa.int64()),
+                "doc_id": b["doc_id"],
+            }
+        )
+
+    slim = ds.map_batches(keyed, batch_format="pyarrow")
+    totals = slim.groupby("part").aggregate(Count(alias_name="n")).take_all()
+    per_part = {int(r["part"]): int(r["n"]) for r in totals}
+    offsets, acc = {}, 0
+    for p in range(nb + 1):
+        offsets[p] = acc
+        acc += per_part.get(p, 0)
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        pos = offsets[int(g["part"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "shuffle_pos": pos,
+                }
+            )
+        )
+
+    return slim.groupby("part").map_groups(assign, batch_format="pandas")

@@ -50,6 +50,8 @@ ORACLE_SUBSET = [
     "dedup_exact_first",
     "media_meta",
     "knn_brute_cosine",
+    "doc_pii_redact",
+    "deterministic_shuffle",
 ]
 
 
@@ -270,6 +272,7 @@ def test_n_buckets_scales_with_data_size():
         "customer_order_counts",
         "doc_bigram_lm_score",
         "doc_distinctive_terms",
+        "deterministic_shuffle",
     ],
 )
 def test_bucket_count_invariance(harness, name, monkeypatch):
@@ -338,3 +341,103 @@ def test_value_percentiles_selection_nulls_dups_rounds(ray_session, tmp_path, mo
         got = sketch.value_percentiles(str(d)).to_pandas().iloc[0]
         for k, v in want.items():
             assert got[k] == v, (cap, p, k, got[k], v)
+
+
+def test_value_percentiles_nonfinite_empty_fallback(ray_session, tmp_path, monkeypatch):
+    """Hardening paths of the selection plan: (a) ±inf values are placed by
+    the ORDER BY total order and match DuckDB's quantile_disc exactly;
+    (b) an empty / all-null population returns one all-NULL row like the
+    SQL aggregate; (c) a zero collect-cap leaves quantiles unresolved after
+    the narrowing rounds and the bracket-sort fallback still returns the
+    exact nearest-rank element (never a silent null)."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import newsray.sketch as sketch
+
+    # (a) ±inf parity with DuckDB (no NaN: its quantile_disc is
+    # comparator-unstable with NaNs — no defined oracle there)
+    rng = np.random.RandomState(11)
+    vals = np.concatenate(
+        [np.full(40, -np.inf), rng.uniform(0, 100, 3000), np.full(700, np.inf)]
+    )
+    d = tmp_path / "sfinf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"value": pa.array(vals.tolist(), pa.float64())}),
+        d / "events.parquet",
+    )
+    got = sketch.value_percentiles(str(d)).to_pandas().iloc[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(
+        "SELECT quantile_disc(value, 0.50) AS p50,"
+        "       quantile_disc(value, 0.90) AS p90,"
+        "       quantile_disc(value, 0.99) AS p99 FROM events"
+    ).df().iloc[0]
+    for k in ("p50", "p90", "p99"):
+        assert got[k] == want[k], (k, got[k], want[k])
+
+    # (b) empty and all-null populations → one all-NULL row
+    for name, col in (("sfempty", []), ("sfnull", [None] * 64)):
+        dd = tmp_path / name
+        dd.mkdir()
+        pq.write_table(
+            pa.table({"value": pa.array(col, pa.float64())}), dd / "events.parquet"
+        )
+        row = sketch.value_percentiles(str(dd)).to_pandas().iloc[0]
+        assert row.isna().all(), (name, row)
+
+    # (c) collect cap 0 → nothing is ever collectable → bracket-sort fallback
+    dsel = tmp_path / "sffb"
+    dsel.mkdir()
+    fvals = rng.normal(50.0, 9.0, 8000)
+    pq.write_table(
+        pa.table({"value": pa.array(fvals.tolist(), pa.float64())}),
+        dsel / "events.parquet",
+    )
+    monkeypatch.setattr(sketch, "_SEL_CAP", 0)
+    monkeypatch.setattr(sketch, "_SEL_ROUNDS", 2)
+    s = np.sort(fvals)
+    got = sketch.value_percentiles(str(dsel)).to_pandas().iloc[0]
+    for lbl, q in sketch.EXACT_QS:
+        assert got[f"p{lbl}"] == s[max(0, math.ceil(q * len(s)) - 1)]
+
+
+def test_doc_pii_redact_on_real_pii(ray_session, tmp_path):
+    """The synthetic corpus has no emails/phones, so the gate only proves
+    the denylist rule; this pins the email/phone rules on crafted text —
+    counts from the ORIGINAL text, replacements applied in rule order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newsray.textan import doc_pii_redact
+
+    texts = [
+        "reach bob.smith+x@corp.example.com or alice@ex.org today",
+        "call 010-1234-5678 and 02-555-0199 about the customer line",
+        "clean text with no identifiers at all",
+    ]
+    d = tmp_path / "sfpii"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)}
+        ),
+        d / "documents.parquet",
+    )
+    got = doc_pii_redact(str(d)).to_pandas().sort_values("doc_id")
+    assert got["clean_text"].tolist() == [
+        "reach <EMAIL> or <EMAIL> today",
+        "call <PHONE> and <PHONE> about the <ENT> <ENT>",
+        "clean text with no identifiers at all",
+    ]
+    assert got["n_email"].tolist() == [2, 0, 0]
+    assert got["n_phone"].tolist() == [0, 2, 0]
+    assert got["n_entity"].tolist() == [0, 2, 0]

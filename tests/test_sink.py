@@ -318,3 +318,67 @@ def test_day_grouped_export_ds_matches_table_path(arts, tmp_path):
     for site in SITES:
         with open(p1[site], "rb") as a, open(p2[site], "rb") as b:
             assert a.read() == b.read(), site
+
+
+def test_precsum_manifest_rewrites_instead_of_refusing(arts, tmp_path):
+    """A pre-upgrade DICT manifest (run_id fingerprinted from the seq
+    population only, before the content csum was folded in) identifies the
+    same seq stats but unverifiable content: the export must treat it like
+    the bare-list legacy shape — clean + full rewrite — not refuse with
+    'DIFFERENT run' on the identical article set."""
+    import json as _json
+
+    from newsray.sink import _legacy_fingerprint
+
+    out = str(tmp_path / "docs")
+    written = write_documents(arts, out)
+    manifest_path = os.path.join(out, "_manifest.json")
+    parts = _json.load(open(manifest_path))["parts"]
+    seqs = arts["discovered_seq"].to_pylist()
+    old_id = _legacy_fingerprint(len(seqs), min(seqs), max(seqs), sum(seqs))
+    with open(manifest_path, "w") as f:
+        _json.dump({"run_id": old_id, "parts": parts}, f)  # pre-csum shape
+    rewritten = write_documents(arts, out)  # no RuntimeError
+    assert len(rewritten) == len(written)  # no resume info → full rewrite
+    assert read_documents(out).num_rows == arts.num_rows
+
+
+def test_day_grouped_export_ds_empty_and_plugin_site(ray_session, arts, tmp_path):
+    """(a) A zero-article dataset must still write the contractual K2 empty
+    per-site files instead of crashing on the schema-less groupby result.
+    (b) A dynamically registered plugin site must export through the ds
+    path's worker-side writers (worker SITES lacks the registration — the
+    flags ride the closure snapshot)."""
+    import dataclasses
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from newsray.sink import day_grouped_export_ds
+    from newsray.sites import HOST_TO_SITE, SITE_RANK, SITES
+
+    # (a) empty dataset → well-formed empty JSON per site
+    d1 = str(tmp_path / "empty")
+    paths = day_grouped_export_ds(rd.from_arrow(arts.slice(0, 0)), d1)
+    assert set(paths) == set(SITES)
+    for p in paths.values():
+        assert _json.load(open(p, encoding="utf-8")) == []
+
+    # (b) plugin site, registered on the DRIVER only
+    base = SITES["naver"]
+    cfg = dataclasses.replace(base, site="plugx", host="plugx.test")
+    SITES["plugx"] = cfg
+    SITE_RANK["plugx"] = max(SITE_RANK.values()) + 1
+    HOST_TO_SITE["plugx.test"] = "plugx"
+    try:
+        one = arts.slice(0, 1)
+        i = one.column_names.index("site")
+        one = one.set_column(i, "site", pa.array(["plugx"], pa.string()))
+        d2 = str(tmp_path / "plug")
+        paths = day_grouped_export_ds(rd.from_arrow(one), d2)
+        assert "plugx" in paths
+        got = _json.load(open(paths["plugx"], encoding="utf-8"))
+        assert len(got) == 1 and len(got[0]["articles"]) == 1
+    finally:
+        del SITES["plugx"], SITE_RANK["plugx"], HOST_TO_SITE["plugx.test"]

@@ -234,3 +234,22 @@ def test_task_retry_side_effects_replay_safe(ray_session):
         r["url"] for r in ora.articles
     )
     _ray.kill(inj)
+
+
+def test_runresult_dict_idioms(ray_session):
+    """The streaming RunResult's lazy legacy keys must be visible to every
+    dict idiom — .get / in / iteration / len / keys — not just [], so code
+    written against the old finalize() dict keeps working unchanged."""
+    import pyarrow as pa
+
+    from newsray.pipeline import RunResult
+
+    r = RunResult({"articles_ds": None, "fetch_logs": []})
+    assert "articles" in r and "documents" in r and "fetch_log" in r
+    assert "nope" not in r
+    assert set(r.keys()) >= {"articles_ds", "articles", "documents", "fetch_log"}
+    assert len(r) == len(list(r)) == 5
+    assert r.get("nope") is None and r.get("nope", 7) == 7
+    # fetch_log materializes through .get exactly like [] (empty logs → None)
+    assert r.get("fetch_log", "sentinel") is None
+    assert dict.__contains__(r, "fetch_log")  # cached after access
