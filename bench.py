@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "value_percentiles",
     "user_funnel_counts",
     "chunk_embed_index",
+    "doc_pii_redact",
+    "deterministic_shuffle",
 ]
 
 

@@ -935,3 +935,115 @@ def exact_substring_dups(sf_dir: str):
         .groupby("doc_id")
         .aggregate(Sum("pn", alias_name="n_dup_windows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# keep-best near-dup resolution (the production dedup policy: keep the
+# highest-quality member, not the lowest id)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_keep_best", sql=golden_sql("dedup_keep_best"))
+def dedup_keep_best(sf_dir: str):
+    """Near-dup clusters resolved by QUALITY instead of id: each MinHash
+    cluster keeps its longest member (token count; ties → min doc_id) —
+    the keep-best policy production cleaning runs use, where near-dup
+    groups should surrender their truncated/boilerplate variants, not
+    whatever happened to get the lowest id. One row per cluster member:
+    (doc_id, cluster_id, best_doc_id, kept).
+
+    Distributed shape on top of the existing pieces:
+      pairs (signatures-only LSH) → components (distributed label
+      propagation) → token counts attached by a BUCKETED hash join
+      (cluster membership is pair-graph-sized but corpus-scale at real
+      duplicate rates — never a broadcast) → per-cluster argmax inside
+      COARSE cluster_id buckets (vectorized transform, no per-tiny-cluster
+      pandas group task — the dedup_simhash 77c744a lesson).
+
+    Golden: sequential union-find + the same longest/min-id rule
+    (golden.py), hash-diffed by the driver gate."""
+    import pyarrow.compute as pc
+
+    from .tabular import from_pandas_clean, n_buckets, read
+
+    clusters = pairs_to_clusters(minhash_pairs_ds(read(sf_dir, "documents", ["doc_id", "text"])))
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    B = n_buckets(size_bytes=docs.size_bytes())
+
+    def member_side(b) -> pa.Table:
+        if isinstance(b, pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(pc.bit_wise_and(b["doc_id"], pa.scalar(B - 1)), pa.int64()),
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "cluster_id": pc.cast(b["cluster_id"], pa.int64()),
+                "n_tokens": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    def count_side(b: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(b["text"], pattern=" "), 1)
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(pc.bit_wise_and(b["doc_id"], pa.scalar(B - 1)), pa.int64()),
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "cluster_id": pa.nulls(b.num_rows, pa.int64()),
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    def attach_counts(g: pd.DataFrame) -> pa.Table:
+        mem = g[g["cluster_id"].notna()]
+        if len(mem) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "cb": pa.array([], pa.int64()),
+                }
+            )
+        cnt = dict(
+            zip(g.loc[g["cluster_id"].isna(), "doc_id"],
+                g.loc[g["cluster_id"].isna(), "n_tokens"])
+        )
+        out = mem[["doc_id", "cluster_id"]].copy()
+        out["n_tokens"] = out["doc_id"].map(cnt).astype("int64")
+        out["cluster_id"] = out["cluster_id"].astype("int64")
+        out["cb"] = out["cluster_id"].to_numpy().astype("int64") & (B - 1)
+        return from_pandas_clean(out)
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "best_doc_id": pa.array([], pa.int64()),
+                    "kept": pa.array([], pa.bool_()),
+                }
+            )
+        # longest wins, ties → min doc_id: sort once, first row per cluster
+        d = g.sort_values(
+            ["cluster_id", "n_tokens", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        best = d.groupby("cluster_id", sort=False)["doc_id"].transform("first")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                "cluster_id": pa.array(d["cluster_id"].to_numpy(), pa.int64()),
+                "best_doc_id": pa.array(best.to_numpy(), pa.int64()),
+                "kept": pa.array(d["doc_id"].to_numpy() == best.to_numpy(), pa.bool_()),
+            }
+        )
+
+    joined = (
+        clusters.map_batches(member_side, batch_format="pyarrow")
+        .union(docs.map_batches(count_side, batch_format="pyarrow"))
+        .groupby("jb")
+        .map_groups(attach_counts, batch_format="pandas")
+    )
+    return joined.groupby("cb").map_groups(resolve, batch_format="pandas")

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_VERSION = 10  # v9: + refsites fixture crawl; v10: + chunk_embed_index
+GOLDEN_VERSION = 11  # v10: + chunk_embed_index; v11: + dedup_keep_best
 GOLDEN_ROOT = "/tmp/newsray_golden"
 SF_FIXED = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -135,6 +135,42 @@ def golden_dedup_minhash_clusters(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(nodes, pa.int64()),
             "cluster_id": pa.array([cluster[n] for n in nodes], pa.int64()),
             "is_keeper": pa.array([n == cluster[n] for n in nodes], pa.bool_()),
+        }
+    )
+
+
+def golden_dedup_keep_best(sf_dir: str) -> pa.Table:
+    """Sequential keep-best resolution: union-find clusters over the golden
+    pair list, then longest member (ties -> min doc_id) per cluster."""
+    pairs = _minhash_pairs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    cluster = {n: find(n) for n in nodes}
+    ntok = {d: len(t.split(" ")) for d, t in _docs(sf_dir)}
+    best: dict[int, int] = {}
+    for n in nodes:  # nodes ascending -> ties resolve to min doc_id
+        c = cluster[n]
+        if c not in best or ntok[n] > ntok[best[c]]:
+            best[c] = n
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array([cluster[n] for n in nodes], pa.int64()),
+            "best_doc_id": pa.array([best[cluster[n]] for n in nodes], pa.int64()),
+            "kept": pa.array([n == best[cluster[n]] for n in nodes], pa.bool_()),
         }
     )
 
@@ -591,6 +627,7 @@ GOLDENS = {
     "chunk_embed_index": golden_chunk_embed_index,
     "dedup_minhash_lsh": golden_dedup_minhash_lsh,
     "dedup_minhash_clusters": golden_dedup_minhash_clusters,
+    "dedup_keep_best": golden_dedup_keep_best,
     "dedup_simhash": golden_dedup_simhash,
     "ngram_jaccard_by_source": golden_ngram_jaccard_by_source,
     "dedup_embedding_cosine": golden_dedup_embedding_cosine,

@@ -441,3 +441,17 @@ def test_doc_pii_redact_on_real_pii(ray_session, tmp_path):
     assert got["n_email"].tolist() == [2, 0, 0]
     assert got["n_phone"].tolist() == [0, 2, 0]
     assert got["n_entity"].tolist() == [0, 2, 0]
+
+
+def test_dedup_keep_best_matches_sequential_golden(ray_session):
+    """Keep-best near-dup resolution vs its independent union-find +
+    longest/min-id recompute, exact at sf0.001: every cluster keeps exactly
+    one member, the longest (ties to the lowest doc_id)."""
+    from newsray.dedup_ops import dedup_keep_best
+    from newsray.golden import golden_dedup_keep_best
+
+    got = _normalize(_to_pandas(dedup_keep_best(SF)))
+    want = _normalize(golden_dedup_keep_best(SF).to_pandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    one_keeper = got.groupby("cluster_id")["kept"].sum()
+    assert (one_keeper == 1).all()
