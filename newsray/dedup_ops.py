@@ -966,7 +966,10 @@ def dedup_keep_best(sf_dir: str):
 
     from .tabular import from_pandas_clean, n_buckets, read
 
-    clusters = pairs_to_clusters(minhash_pairs_ds(read(sf_dir, "documents", ["doc_id", "text"])))
+    # dedup_minhash_lsh sizes the band exchange and text re-join off the
+    # corpus size_bytes hint (a hint-less minhash_pairs_ds would fall back
+    # to the CPU-floor bucket count — corpus_size/32 of text in one group)
+    clusters = pairs_to_clusters(dedup_minhash_lsh(sf_dir))
     docs = read(sf_dir, "documents", ["doc_id", "text"])
     B = n_buckets(size_bytes=docs.size_bytes())
 

@@ -1252,7 +1252,12 @@ class RunResult(dict):
     def get(self, key, default=None):
         try:
             return self[key]
-        except KeyError:
+        except KeyError as e:
+            # a KeyError for a DIFFERENT key was raised while materializing
+            # a lazy value (e.g. the backing 'fetch_logs' entry is missing):
+            # that is a broken invariant, not an absent key — surface it
+            if e.args and e.args[0] != key:
+                raise
             return default
 
     def __iter__(self):
@@ -1264,14 +1269,22 @@ class RunResult(dict):
             1 for k in self._LAZY if not dict.__contains__(self, k)
         )
 
+    # real LIVE views (set algebra on keys works; items/values hand out the
+    # value, materializing lazy entries on iteration exactly like [])
     def keys(self):
-        return list(self)
+        from collections.abc import KeysView
+
+        return KeysView(self)
 
     def items(self):
-        return [(k, self[k]) for k in self]
+        from collections.abc import ItemsView
+
+        return ItemsView(self)
 
     def values(self):
-        return [self[k] for k in self]
+        from collections.abc import ValuesView
+
+        return ValuesView(self)
 
     def __missing__(self, key):
         if key == "articles":

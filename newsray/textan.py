@@ -853,8 +853,8 @@ _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
     sql=f"""
     SELECT doc_id,
            row_number() OVER (
-             ORDER BY (CAST(doc_id AS HUGEINT) * {_KNUTH} + {SHUFFLE_SEED})
-                      % 4294967296,
+             ORDER BY ((CAST(doc_id AS HUGEINT) * {_KNUTH} + {SHUFFLE_SEED})
+                       % 4294967296 + 4294967296) % 4294967296,
                       doc_id
            ) - 1 AS shuffle_pos
     FROM documents
@@ -871,9 +871,12 @@ def deterministic_shuffle(sf_dir: str):
     skewed. One tiny aggregate (O(buckets) counts to the driver) + one
     keyed exchange; only (part, key, doc_id) int rows ever shuffle.
 
-    uint64 arithmetic is exact for the low 32 bits at ANY doc_id (wraparound
-    mod 2⁶⁴ preserves the value mod 2³²); the oracle casts to HUGEINT for
-    the same product, so the two sides agree at every scale."""
+    uint64 arithmetic is exact for the low 32 bits at ANY doc_id — including
+    negatives: the int64→uint64 cast and every wraparound are mod 2⁶⁴, and
+    2³² | 2⁶⁴, so the result equals the exact integer's value mod 2³². The
+    oracle computes the same product in HUGEINT and double-mods
+    (``(x % m + m) % m``) because SQL ``%`` follows the dividend's sign —
+    with that normalization the two sides agree at every scale and sign."""
     from ray.data.aggregate import Count
 
     from .tabular import from_pandas_clean, n_buckets

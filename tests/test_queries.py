@@ -455,3 +455,33 @@ def test_dedup_keep_best_matches_sequential_golden(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
     one_keeper = got.groupby("cluster_id")["kept"].sum()
     assert (one_keeper == 1).all()
+
+
+def test_deterministic_shuffle_negative_ids(ray_session, tmp_path):
+    """Sign parity of the Knuth-hash key: uint64 wraparound (mod 2^64, and
+    2^32 | 2^64) must equal the oracle's double-modded HUGEINT arithmetic
+    for NEGATIVE doc_ids too."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newsray.registry import ORACLE_SQL
+    from newsray.textan import deterministic_shuffle
+
+    d = tmp_path / "sfneg"
+    d.mkdir()
+    ids = [-5, -1, 0, 1, 7, -4093, 4093, 2**40, -(2**40)]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array(["x"] * len(ids))}
+        ),
+        d / "documents.parquet",
+    )
+    got = _normalize(_to_pandas(deterministic_shuffle(str(d))))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = _normalize(con.execute(ORACLE_SQL["deterministic_shuffle"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
