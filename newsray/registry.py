@@ -36,6 +36,10 @@ _SAMPLE_FIRST = (
     "split_contamination",
     "value_percentiles",
     "chunk_embed_index",
+    # round-5 additions — never sampled by any prior driver round
+    "doc_pii_redact",
+    "deterministic_shuffle",
+    "dedup_keep_best",
 )
 
 
