@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "chunk_embed_index",
     "doc_pii_redact",
     "deterministic_shuffle",
+    "doc_length_histogram",
 ]
 
 

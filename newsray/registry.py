@@ -40,6 +40,7 @@ _SAMPLE_FIRST = (
     "doc_pii_redact",
     "deterministic_shuffle",
     "dedup_keep_best",
+    "doc_length_histogram",
 )
 
 

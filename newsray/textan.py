@@ -917,3 +917,55 @@ def deterministic_shuffle(sf_dir: str):
         )
 
     return slim.groupby("part").map_groups(assign, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# corpus length histogram (the data-card length distribution)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_TOKENS = 16
+
+
+@register(
+    "doc_length_histogram",
+    sql=f"""
+    SELECT CAST(len(string_split(text, ' ')) // {HIST_BUCKET_TOKENS} AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY bucket
+    """,
+)
+def doc_length_histogram(sf_dir: str):
+    f"""Token-length distribution in fixed {HIST_BUCKET_TOKENS}-token buckets
+    — the length histogram every corpus data card reports. Map-side
+    COMBINE: each batch folds to one row per OCCUPIED bucket (a bincount —
+    O(buckets) partials regardless of batch size), then one tiny groupby
+    sums partials; the exchange carries O(batches × occupied buckets) int
+    rows, never documents."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = (
+            pc.count_substring(b["text"], pattern=" ")
+            .to_numpy(zero_copy_only=False)
+            .astype("int64")
+            + 1
+        )
+        bucket = n // HIST_BUCKET_TOKENS
+        counts = np.bincount(bucket)
+        occ = np.flatnonzero(counts)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(occ.astype(np.int64), pa.int64()),
+                "part_n": pa.array(counts[occ].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("part_n", alias_name="n_docs"))
+    )

@@ -52,6 +52,7 @@ ORACLE_SUBSET = [
     "knn_brute_cosine",
     "doc_pii_redact",
     "deterministic_shuffle",
+    "doc_length_histogram",
 ]
 
 
