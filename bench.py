@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "doc_pii_redact",
     "deterministic_shuffle",
     "doc_length_histogram",
+    "term_lookup_indexed",
 ]
 
 

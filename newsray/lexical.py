@@ -448,3 +448,152 @@ def doc_token_entropy(sf_dir: str):
         )
 
     return ds.map_batches(ent, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted (postings) index + partition-pruned term lookup — the
+# lexical counterpart of the ANN index path (ann.build_lsh_index)
+# ---------------------------------------------------------------------------
+
+POSTINGS_ROOT = "/tmp/newsray_postings_index"
+POSTINGS_BUCKETS = 64  # term-hash partitions (term → md5-low-bits bucket)
+LOOKUP_TERMS = ("vector", "merge", "stream")
+LOOKUP_TOP_K = 10
+
+
+def build_postings_index(sf_dir: str, out_dir: str) -> str:
+    """Build (idempotent, fingerprinted) a hash-partitioned POSTINGS index:
+    (term, doc_id, tf) rows written with ``partition_cols=["tb"]`` where
+    ``tb = hash_bucket(term, POSTINGS_BUCKETS)`` — so a term lookup reads
+    ONLY the partition dirs its query terms hash to, the 10^10-scale
+    access path (same layout contract as `ann.build_lsh_index`; marker
+    carries the source file fingerprint so an in-place corpus change
+    rebuilds instead of serving stale postings)."""
+    import json
+    import os
+    import shutil
+
+    from .textan import hash_bucket
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    marker = os.path.join(out_dir, "_marker.json")
+    want = {
+        "sf_dir": sf_dir,
+        "buckets": POSTINGS_BUCKETS,
+        "src_size": st.st_size,
+        "src_mtime_ns": st.st_mtime_ns,
+    }
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want:
+                    return out_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+    if os.path.isdir(out_dir):  # stale build for an older corpus
+        shutil.rmtree(out_dir)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def postings(b: pa.Table) -> pa.Table:
+        # Arrow split/flatten + ONE pandas hash groupby per batch; the only
+        # per-item python (md5 bucketing) runs once per DISTINCT term in
+        # the batch, not per token
+        toks = pc.split_pattern(b["text"], " ")
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(ids, dl)
+        df = (
+            pd.DataFrame({"doc_id": rows, "term": flat})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        uniq = df["term"].unique()
+        tb = {t: hash_bucket(t, POSTINGS_BUCKETS) for t in uniq}
+        from .tabular import from_pandas_clean
+
+        df["tb"] = df["term"].map(tb).astype("int64")
+        df["tf"] = df["tf"].astype("int64")
+        return from_pandas_clean(df[["term", "doc_id", "tf", "tb"]])
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["tb"]
+    )
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, marker)
+    return out_dir
+
+
+def postings_dirs(idx: str, terms: tuple[str, ...]) -> tuple[list[str], set[int]]:
+    """The parquet files of ONLY the partitions the query terms hash to."""
+    import os
+
+    from .textan import hash_bucket
+
+    buckets = {hash_bucket(t, POSTINGS_BUCKETS) for t in terms}
+    files = [
+        os.path.join(d, f)
+        for b in sorted(buckets)
+        if os.path.isdir(d := os.path.join(idx, f"tb={b}"))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    return files, buckets
+
+
+@register(
+    "term_lookup_indexed",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, SUM(CASE WHEN term IN {LOOKUP_TERMS!r} THEN 1 ELSE 0 END)
+                    AS score
+           FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST(score AS BIGINT) AS score
+    FROM tf WHERE score > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {LOOKUP_TOP_K}
+    """,
+)
+def term_lookup_indexed(sf_dir: str):
+    """Top-k docs by summed query-term frequency, served from the PERSISTED
+    postings index instead of a corpus scan: the query terms map to their
+    hash partitions and ONLY those parquet dirs are read — at 10^10 docs
+    the lookup touches |terms| partitions of postings, never text. The
+    oracle recomputes from raw documents, proving index build + pruned
+    probe end-to-end. Ties break by doc_id so the cut is oracle-stable."""
+    import hashlib as _hl
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    idx = build_postings_index(
+        sf_dir,
+        os.path.join(POSTINGS_ROOT, _hl.md5(sf_dir.encode()).hexdigest()[:12]),
+    )
+    files, _buckets = postings_dirs(idx, LOOKUP_TERMS)
+    if not files:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+        )
+    ds = rd.read_parquet(files, columns=["term", "doc_id", "tf"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.is_in(b["term"], value_set=pa.array(LOOKUP_TERMS)))
+        return pa.Table.from_pydict(
+            {"doc_id": keep["doc_id"], "part_score": keep["tf"]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("part_score", alias_name="score"))
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(LOOKUP_TOP_K)
+    )

@@ -41,6 +41,7 @@ _SAMPLE_FIRST = (
     "deterministic_shuffle",
     "dedup_keep_best",
     "doc_length_histogram",
+    "term_lookup_indexed",
 )
 
 

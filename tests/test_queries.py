@@ -53,6 +53,7 @@ ORACLE_SUBSET = [
     "doc_pii_redact",
     "deterministic_shuffle",
     "doc_length_histogram",
+    "term_lookup_indexed",
 ]
 
 
@@ -486,3 +487,36 @@ def test_deterministic_shuffle_negative_ids(ray_session, tmp_path):
     )
     want = _normalize(con.execute(ORACLE_SQL["deterministic_shuffle"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_postings_lookup_reads_only_term_partitions(ray_session):
+    """The postings lookup must read strictly fewer partition dirs than the
+    index holds (term-hash pruning — the 10^10-scale access path), every
+    file it reads must live in a queried bucket, and the build must be
+    idempotent under its fingerprint marker."""
+    import hashlib
+    import os
+
+    from newsray.lexical import (
+        LOOKUP_TERMS,
+        POSTINGS_BUCKETS,
+        POSTINGS_ROOT,
+        build_postings_index,
+        postings_dirs,
+    )
+    from newsray.textan import hash_bucket
+
+    out = os.path.join(POSTINGS_ROOT, hashlib.md5(SF.encode()).hexdigest()[:12])
+    idx = build_postings_index(SF, out)
+    all_parts = {
+        int(d.split("=", 1)[1]) for d in os.listdir(idx) if d.startswith("tb=")
+    }
+    files, buckets = postings_dirs(idx, LOOKUP_TERMS)
+    assert buckets == {hash_bucket(t, POSTINGS_BUCKETS) for t in LOOKUP_TERMS}
+    read_parts = {int(p.split("tb=")[1].split(os.sep)[0]) for p in files}
+    assert read_parts <= buckets and read_parts <= all_parts
+    assert len(read_parts) < len(all_parts)  # strict pruning
+    # idempotent: a second build serves the same marker, no rewrite
+    mtime = os.path.getmtime(os.path.join(idx, "_marker.json"))
+    assert build_postings_index(SF, out) == idx
+    assert os.path.getmtime(os.path.join(idx, "_marker.json")) == mtime
