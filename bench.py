@@ -197,9 +197,14 @@ def run_once() -> dict:
         # without this a second bench run would time only the probe
         import shutil
 
+        from newsray.lexical import POSTINGS_ROOT
         from newsray.ragprep import CHUNK_INDEX_ROOT
 
         shutil.rmtree(CHUNK_INDEX_ROOT, ignore_errors=True)
+        # term_lookup_indexed is likewise timed COLD (build + partitioned
+        # write + pruned probe); knn_lsh_indexed keeps its historical
+        # warm-capable timing for cross-round comparability
+        shutil.rmtree(POSTINGS_ROOT, ignore_errors=True)
         for name in BENCH_QUERIES:
             t0 = time.time()
             consume(QUERIES[name](SF_DIR))

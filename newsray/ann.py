@@ -273,13 +273,14 @@ def build_lsh_index(sf_dir: str, out_dir: str) -> str:
     top-PREFIX_BITS bucket group, straight from the object store via
     ``Dataset.write_parquet(partition_cols=...)``). A query then reads ONLY
     the partitions its multiprobe set can touch — the index scan replaces
-    the corpus scan. Idempotent per (sf_dir, out_dir): a marker commits the
-    build. At real scale the same layout shards across nodes by directory;
-    here it also demonstrates resumable output (partition dirs + marker)."""
-    import json
+    the corpus scan. Idempotent and concurrency-safe per (sf_dir, out_dir)
+    via the shared marker/swap contract (`tabular.idempotent_partitioned_build`).
+    At real scale the same layout shards across nodes by directory; here it
+    also demonstrates resumable output (partition dirs + marker)."""
     import os
 
-    marker = os.path.join(out_dir, "_built.json")
+    from .tabular import idempotent_partitioned_build
+
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
     want = {
@@ -291,37 +292,25 @@ def build_lsh_index(sf_dir: str, out_dir: str) -> str:
         "src_size": st.st_size,
         "src_mtime_ns": st.st_mtime_ns,
     }
-    if os.path.exists(marker):
-        try:
-            with open(marker) as f:
-                if json.load(f) == want:
-                    return out_dir
-        except (json.JSONDecodeError, OSError):
-            pass
-    dim = _load_query(sf_dir).shape[0]
-    planes = _planes(dim)
-    if os.path.isdir(out_dir):  # stale build for an older corpus: rebuild clean
-        import shutil
 
-        shutil.rmtree(out_dir)
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    def build(tmp_dir: str) -> None:
+        dim = _load_query(sf_dir).shape[0]
+        planes = _planes(dim)
+        ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def sig_part(b: pa.Table) -> pa.Table:
-        m = emb_matrix(b["embedding"])
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sigs = _signature(m, planes)
-        return b.append_column("sig", pa.array(sigs, pa.int64())).append_column(
-            "part", pa.array(sigs >> (N_PLANES - PREFIX_BITS), pa.int64())
+        def sig_part(b: pa.Table) -> pa.Table:
+            m = emb_matrix(b["embedding"])
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sigs = _signature(m, planes)
+            return b.append_column("sig", pa.array(sigs, pa.int64())).append_column(
+                "part", pa.array(sigs >> (N_PLANES - PREFIX_BITS), pa.int64())
+            )
+
+        ds.map_batches(sig_part, batch_format="pyarrow").write_parquet(
+            tmp_dir, partition_cols=["part"]
         )
 
-    ds.map_batches(sig_part, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["part"]
-    )
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(want, f)
-    os.replace(tmp, marker)
-    return out_dir
+    return idempotent_partitioned_build(out_dir, want, build)
 
 
 @register("knn_lsh_indexed", sql=golden_sql("knn_lsh_cosine"))
@@ -346,14 +335,10 @@ def knn_lsh_indexed(sf_dir: str):
         sf_dir,
         os.path.join(LSH_INDEX_ROOT, _hl.md5(sf_dir.encode()).hexdigest()[:12]),
     )
+    from .tabular import partition_files
+
     parts = sorted({s >> (N_PLANES - PREFIX_BITS) for s in probe})
-    dirs = [
-        os.path.join(d, f)
-        for p in parts
-        if os.path.isdir(d := os.path.join(idx, f"part={p}"))
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
+    dirs = partition_files(idx, "part", parts)
     if not dirs:  # no probe partition materialized any file: empty result,
         # not a read_parquet([]) crash (ADVICE r2)
         return rd.from_arrow(

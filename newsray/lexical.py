@@ -469,30 +469,19 @@ def build_postings_index(sf_dir: str, out_dir: str) -> str:
     access path (same layout contract as `ann.build_lsh_index`; marker
     carries the source file fingerprint so an in-place corpus change
     rebuilds instead of serving stale postings)."""
-    import json
     import os
-    import shutil
 
+    from .tabular import idempotent_partitioned_build
     from .textan import hash_bucket
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
-    marker = os.path.join(out_dir, "_marker.json")
     want = {
         "sf_dir": sf_dir,
         "buckets": POSTINGS_BUCKETS,
         "src_size": st.st_size,
         "src_mtime_ns": st.st_mtime_ns,
     }
-    if os.path.exists(marker):
-        try:
-            with open(marker) as f:
-                if json.load(f) == want:
-                    return out_dir
-        except (json.JSONDecodeError, OSError):
-            pass
-    if os.path.isdir(out_dir):  # stale build for an older corpus
-        shutil.rmtree(out_dir)
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -519,31 +508,21 @@ def build_postings_index(sf_dir: str, out_dir: str) -> str:
         df["tf"] = df["tf"].astype("int64")
         return from_pandas_clean(df[["term", "doc_id", "tf", "tb"]])
 
-    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["tb"]
-    )
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(want, f)
-    os.replace(tmp, marker)
-    return out_dir
+    def build(tmp_dir: str) -> None:
+        ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+            tmp_dir, partition_cols=["tb"]
+        )
+
+    return idempotent_partitioned_build(out_dir, want, build)
 
 
 def postings_dirs(idx: str, terms: tuple[str, ...]) -> tuple[list[str], set[int]]:
     """The parquet files of ONLY the partitions the query terms hash to."""
-    import os
-
+    from .tabular import partition_files
     from .textan import hash_bucket
 
     buckets = {hash_bucket(t, POSTINGS_BUCKETS) for t in terms}
-    files = [
-        os.path.join(d, f)
-        for b in sorted(buckets)
-        if os.path.isdir(d := os.path.join(idx, f"tb={b}"))
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
-    return files, buckets
+    return partition_files(idx, "tb", buckets), buckets
 
 
 @register(

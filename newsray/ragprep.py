@@ -122,9 +122,9 @@ def build_chunk_index(sf_dir: str, out_dir: str) -> str:
     idempotent per corpus fingerprint (the `ann.build_lsh_index` marker
     contract: a documents file changed in place must not serve stale
     partitions)."""
+    from .tabular import idempotent_partitioned_build
     from .textan import doc_chunks
 
-    marker = os.path.join(out_dir, "_built.json")
     st = os.stat(f"{sf_dir}/documents.parquet")
     want = {
         "sf_dir": sf_dir,
@@ -135,27 +135,17 @@ def build_chunk_index(sf_dir: str, out_dir: str) -> str:
         "src_size": st.st_size,
         "src_mtime_ns": st.st_mtime_ns,
     }
-    if os.path.exists(marker):
-        try:
-            with open(marker) as f:
-                if json.load(f) == want:
-                    return out_dir
-        except (json.JSONDecodeError, OSError):
-            pass
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    doc_chunks(sf_dir).map_batches(
-        StubEmbedder,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=(2, 8),
-        num_cpus=1,
-    ).write_parquet(out_dir, partition_cols=["part"])
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(want, f)
-    os.replace(tmp, marker)
-    return out_dir
+
+    def build(tmp_dir: str) -> None:
+        doc_chunks(sf_dir).map_batches(
+            StubEmbedder,
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=(2, 8),
+            num_cpus=1,
+        ).write_parquet(tmp_dir, partition_cols=["part"])
+
+    return idempotent_partitioned_build(out_dir, want, build)
 
 
 def _query_embedding(sf_dir: str) -> np.ndarray:
@@ -175,15 +165,10 @@ def _query_embedding(sf_dir: str) -> np.ndarray:
 def probe_dirs(idx_dir: str, probe: set[int]) -> tuple[list[str], list[int]]:
     """Partition directories the probe set can touch — the pruning step a
     pytest asserts reads strictly fewer partitions than exist."""
+    from .tabular import partition_files
+
     parts = sorted({s >> (N_PLANES - PREFIX_BITS) for s in probe})
-    dirs = [
-        os.path.join(d, f)
-        for p in parts
-        if os.path.isdir(d := os.path.join(idx_dir, f"part={p}"))
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
-    return dirs, parts
+    return partition_files(idx_dir, "part", parts), parts
 
 
 @register("chunk_embed_index", sql=golden_sql("chunk_embed_index"))

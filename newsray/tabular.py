@@ -122,3 +122,67 @@ def n_buckets(min_b: int = 32, size_bytes: int | None = None) -> int:
 def sql_tag(op_id: str) -> str:
     """Marker comment embedded in oracle SQL for traceability to SURVEY §2."""
     return f"-- newsray operator {op_id}\n"
+
+
+def idempotent_partitioned_build(out_dir: str, want: dict, build_fn) -> str:
+    """ONE home for the fingerprint-markered idempotent partitioned-index
+    build (ANN signature index, RAG chunk index, lexical postings — three
+    call sites that previously each carried their own copy):
+
+    * the marker (`_built.json`, committed LAST) holds the caller's
+      fingerprint dict; a matching marker serves the existing tree;
+    * the build is CONCURRENCY-SAFE: each builder writes a COMPLETE tree
+      into a private ``<out_dir>.build-<pid>`` dir (marker included), then
+      swaps it in whole. Racing builders each produce a complete identical
+      index and the swap is last-complete-tree-wins — never the mixed
+      half-and-half directory a shared in-place write would leave;
+    * a loser whose swap collides re-checks the winner's marker and serves
+      the winner's tree.
+
+    ``build_fn(tmp_dir)`` must write the partitioned data into ``tmp_dir``
+    (e.g. ``ds.write_parquet(tmp_dir, partition_cols=[...])``)."""
+    import json
+    import os
+    import shutil
+
+    def _marker_matches() -> bool:
+        try:
+            with open(os.path.join(out_dir, "_built.json")) as f:
+                return json.load(f) == want
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    if _marker_matches():
+        return out_dir
+    tmp = f"{out_dir}.build-{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    build_fn(tmp)
+    with open(os.path.join(tmp, "_built.json"), "w") as f:
+        json.dump(want, f)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        # a racing builder swapped its (complete, identical-fingerprint)
+        # tree in between our rmtree and rename: serve theirs
+        if not _marker_matches():
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def partition_files(idx_dir: str, key: str, values) -> list[str]:
+    """Parquet files of ONLY the hive partitions ``{key}={v}`` for the given
+    values — the pruned-read step shared by every partitioned index probe."""
+    import os
+
+    return [
+        os.path.join(d, f)
+        for v in sorted(values)
+        if os.path.isdir(d := os.path.join(idx_dir, f"{key}={v}"))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]

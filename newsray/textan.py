@@ -936,7 +936,7 @@ HIST_BUCKET_TOKENS = 16
     """,
 )
 def doc_length_histogram(sf_dir: str):
-    f"""Token-length distribution in fixed {HIST_BUCKET_TOKENS}-token buckets
+    """Token-length distribution in fixed HIST_BUCKET_TOKENS(=16)-token buckets
     — the length histogram every corpus data card reports. Map-side
     COMBINE: each batch folds to one row per OCCUPIED bucket (a bincount —
     O(buckets) partials regardless of batch size), then one tiny groupby

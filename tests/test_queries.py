@@ -517,6 +517,49 @@ def test_postings_lookup_reads_only_term_partitions(ray_session):
     assert read_parts <= buckets and read_parts <= all_parts
     assert len(read_parts) < len(all_parts)  # strict pruning
     # idempotent: a second build serves the same marker, no rewrite
-    mtime = os.path.getmtime(os.path.join(idx, "_marker.json"))
+    mtime = os.path.getmtime(os.path.join(idx, "_built.json"))
     assert build_postings_index(SF, out) == idx
-    assert os.path.getmtime(os.path.join(idx, "_marker.json")) == mtime
+    assert os.path.getmtime(os.path.join(idx, "_built.json")) == mtime
+
+
+def test_idempotent_partitioned_build_race_loser(tmp_path, monkeypatch):
+    """The shared index-build contract: a builder whose swap collides with
+    a racing winner (rename fails, winner's complete tree + matching marker
+    in place) serves the winner's tree and cleans its own temp dir — never
+    a mixed in-place write, never an error for an identical fingerprint."""
+    import json
+    import os
+    import shutil as _sh
+
+    from newsray.tabular import idempotent_partitioned_build
+
+    out = str(tmp_path / "idx")
+    want = {"v": 2}
+    # stale prior build (fingerprint mismatch -> rebuild path)
+    os.makedirs(out)
+    with open(os.path.join(out, "_built.json"), "w") as f:
+        json.dump({"v": 1}, f)
+
+    def build(tmp_dir):
+        with open(os.path.join(tmp_dir, "part.parquet"), "w") as f:
+            f.write("data")
+
+    real_rmtree = _sh.rmtree
+
+    def winner_reappears(path, ignore_errors=False):
+        real_rmtree(path, ignore_errors=ignore_errors)
+        if path == out:  # the racing winner swaps ITS complete tree in
+            os.makedirs(out)
+            with open(os.path.join(out, "_built.json"), "w") as f:
+                json.dump(want, f)
+
+    monkeypatch.setattr(_sh, "rmtree", winner_reappears)
+    got = idempotent_partitioned_build(out, want, build)
+    assert got == out
+    assert json.load(open(os.path.join(out, "_built.json"))) == want
+    assert not os.path.isdir(f"{out}.build-{os.getpid()}")  # loser cleaned up
+    # and a plain rebuild-on-mismatch still works with rmtree restored
+    monkeypatch.setattr(_sh, "rmtree", real_rmtree)
+    got = idempotent_partitioned_build(out, {"v": 3}, build)
+    assert json.load(open(os.path.join(out, "_built.json"))) == {"v": 3}
+    assert os.path.exists(os.path.join(out, "part.parquet"))
