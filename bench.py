@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "deterministic_shuffle",
     "doc_length_histogram",
     "term_lookup_indexed",
+    "user_activity_full",
 ]
 
 

@@ -42,6 +42,7 @@ _SAMPLE_FIRST = (
     "dedup_keep_best",
     "doc_length_histogram",
     "term_lookup_indexed",
+    "user_activity_full",
 )
 
 

@@ -1360,3 +1360,117 @@ def events_rollup(sf_dir: str):
         .aggregate(Sum("pe", alias_name="n_events"), Sum("pu", alias_name="n_users"))
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — the join family's last shape (inner / broadcast / as-of /
+# range / anti / semi / left-outer live elsewhere in this module)
+# ---------------------------------------------------------------------------
+
+FULL_OUTER_SEGMENT = "BUILDING"
+
+
+@register(
+    "user_activity_full",
+    sql=f"""
+    WITH ev AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events GROUP BY user_id),
+    cu AS (SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_mktsegment = '{FULL_OUTER_SEGMENT}')
+    SELECT COALESCE(ev.user_id, cu.c_custkey) AS ukey,
+           CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+           cu.c_acctbal AS acctbal,
+           (ev.user_id IS NOT NULL) AS has_events,
+           (cu.c_custkey IS NOT NULL) AS is_customer
+    FROM ev FULL OUTER JOIN cu ON ev.user_id = cu.c_custkey
+    """,
+)
+def user_activity_full(sf_dir: str):
+    """FULL OUTER JOIN: per-user event counts against one customer segment
+    — keys unmatched on EITHER side survive (active non-segment users keep
+    a NULL acctbal; segment customers with no events keep a zero count),
+    which neither the inner nor either one-sided outer shape can produce.
+    Same no-broadcast plan as the left-outer/anti/semi family: the event
+    side folds to per-batch (key, n) count partials, both sides hash-bucket
+    by key, and the per-bucket fold is one vectorized partial sum + OUTER
+    merge with an indicator for the two presence flags."""
+    from .tabular import from_pandas_clean, n_buckets
+
+    ev = read(sf_dir, "events", ["user_id"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+    nb = n_buckets(size_bytes=ev.size_bytes() + cust.size_bytes())
+
+    def ev_side(b: pa.Table) -> pa.Table:
+        vc = b["user_id"].combine_chunks().value_counts()
+        keys = vc.field("values")
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(nb - 1, pa.int64())), pa.int64()
+                ),
+                "key": pc.cast(keys, pa.int64()),
+                "pn": vc.field("counts").cast(pa.int64()),
+                "acct": pa.nulls(len(keys), pa.float64()),
+                "iscust": pa.array(np.zeros(len(keys), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["c_mktsegment"], FULL_OUTER_SEGMENT))
+        return pa.Table.from_pydict(
+            {
+                "jb": pc.cast(
+                    pc.bit_wise_and(b["c_custkey"], pa.scalar(nb - 1, pa.int64())),
+                    pa.int64(),
+                ),
+                "key": pc.cast(b["c_custkey"], pa.int64()),
+                "pn": pa.nulls(b.num_rows, pa.int64()),
+                "acct": pc.cast(b["c_acctbal"], pa.float64()),
+                "iscust": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def outer(g: pd.DataFrame) -> pa.Table:
+        evp = (
+            g.loc[g["iscust"] == 0]
+            .groupby("key", as_index=False)["pn"]
+            .sum()
+        )
+        cup = g.loc[g["iscust"] == 1, ["key", "acct"]]
+        m = evp.merge(cup, on="key", how="outer", indicator=True)
+        if len(m) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "ukey": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "acctbal": pa.array([], pa.float64()),
+                    "has_events": pa.array([], pa.bool_()),
+                    "is_customer": pa.array([], pa.bool_()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "ukey": pa.array(m["key"].to_numpy(np.int64), pa.int64()),
+                "n_events": pa.array(
+                    m["pn"].fillna(0).to_numpy(np.int64), pa.int64()
+                ),
+                # from_pandas=True: the merge's NaN fill for non-customers
+                # must surface as SQL NULL, not a float NaN
+                "acctbal": pa.array(
+                    m["acct"].to_numpy(np.float64), pa.float64(), from_pandas=True
+                ),
+                "has_events": pa.array(
+                    m["_merge"].isin(("left_only", "both")).to_numpy(), pa.bool_()
+                ),
+                "is_customer": pa.array(
+                    m["_merge"].isin(("right_only", "both")).to_numpy(), pa.bool_()
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(ev_side, batch_format="pyarrow")
+        .union(cust.map_batches(cust_side, batch_format="pyarrow"))
+        .groupby("jb")
+        .map_groups(outer, batch_format="pandas")
+    )

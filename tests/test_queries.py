@@ -54,6 +54,7 @@ ORACLE_SUBSET = [
     "deterministic_shuffle",
     "doc_length_histogram",
     "term_lookup_indexed",
+    "user_activity_full",
 ]
 
 
@@ -275,6 +276,7 @@ def test_n_buckets_scales_with_data_size():
         "doc_bigram_lm_score",
         "doc_distinctive_terms",
         "deterministic_shuffle",
+        "user_activity_full",
     ],
 )
 def test_bucket_count_invariance(harness, name, monkeypatch):
