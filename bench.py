@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "doc_length_histogram",
     "term_lookup_indexed",
     "user_activity_full",
+    "daily_events_7d_ma",
 ]
 
 

@@ -43,6 +43,7 @@ _SAMPLE_FIRST = (
     "doc_length_histogram",
     "term_lookup_indexed",
     "user_activity_full",
+    "daily_events_7d_ma",
 )
 
 

@@ -1474,3 +1474,70 @@ def user_activity_full(sf_dir: str):
         .groupby("jb")
         .map_groups(outer, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# calendar RANGE-frame moving aggregate (the time-window family member the
+# ROWS-frame `events_window_funcs` doesn't cover)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_events_7d_ma",
+    sql="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS dd, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY dd)
+    SELECT CAST(dd AS VARCHAR) AS day, n,
+           ROUND(AVG(CAST(n AS DOUBLE)) OVER (
+             ORDER BY dd RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 4) AS ma7
+    FROM d
+    """,
+)
+def daily_events_7d_ma(sf_dir: str):
+    """7-day CALENDAR moving average of the daily event count — a RANGE
+    (interval) frame, which averages over the days that EXIST within
+    [day−6, day], not over 7 physical rows: gaps in the calendar shrink the
+    divisor, the semantics a ROWS frame gets wrong. Distributed shape:
+    per-batch (day, n) count partials → one tiny groupby → the O(days)
+    daily series (small BY CONSTRUCTION at any corpus scale — aggregation
+    reduces 10^10 rows to ~10^3 days) → vectorized prefix-sum +
+    searchsorted window on the driver, the `pack_sequences` O(K)-driver
+    pattern."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["ts"].dt.strftime("%Y-%m-%d").value_counts()
+        return pd.DataFrame(
+            {"day": vc.index.to_numpy(), "pn": vc.to_numpy().astype("int64")}
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # O(days) rows — the series is small by construction
+        .sort_values("day")
+    )
+    days = daily["day"].to_numpy()
+    n = daily["n"].to_numpy().astype(np.int64)
+    ords = np.array(days, dtype="datetime64[D]").astype(np.int64)
+    lo = np.searchsorted(ords, ords - 6, side="left")
+    csum = np.concatenate([[0], np.cumsum(n)])
+    idx = np.arange(len(n), dtype=np.int64)
+    ma = (csum[idx + 1] - csum[lo]) / (idx + 1 - lo)
+    from .tabular import round_col
+
+    return round_col(
+        pa.table(
+            {
+                "day": pa.array(days, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "ma7": pa.array(ma, pa.float64()),
+            }
+        ),
+        "ma7",
+        4,
+    )

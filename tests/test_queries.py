@@ -55,6 +55,7 @@ ORACLE_SUBSET = [
     "doc_length_histogram",
     "term_lookup_indexed",
     "user_activity_full",
+    "daily_events_7d_ma",
 ]
 
 
@@ -565,3 +566,40 @@ def test_idempotent_partitioned_build_race_loser(tmp_path, monkeypatch):
     got = idempotent_partitioned_build(out, {"v": 3}, build)
     assert json.load(open(os.path.join(out, "_built.json"))) == {"v": 3}
     assert os.path.exists(os.path.join(out, "part.parquet"))
+
+
+def test_daily_ma_calendar_gaps(ray_session, tmp_path):
+    """The RANGE frame must average over days that EXIST in [day-6, day] —
+    a calendar gap shrinks the divisor (a ROWS-7 frame would instead reach
+    back across the gap). Pinned against DuckDB on a gapped series."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newsray.registry import ORACLE_SQL
+    from newsray.relops import daily_events_7d_ma
+
+    # days 1,2,3 then a 10-day gap, then 14,15 — the windows at 14/15 must
+    # NOT see the pre-gap days
+    rows = []
+    for day, cnt in ((1, 4), (2, 2), (3, 6), (14, 3), (15, 5)):
+        for i in range(cnt):
+            rows.append(datetime.datetime(2024, 3, day, 8, i))
+    d = tmp_path / "sfma"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array(rows, pa.timestamp("us"))}), d / "events.parquet"
+    )
+    got = _normalize(_to_pandas(daily_events_7d_ma(str(d))))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = _normalize(con.execute(ORACLE_SQL["daily_events_7d_ma"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # the post-gap windows really exclude pre-gap days: 14 → avg(3)=3,
+    # 15 → avg(3,5)=4 (a ROWS frame would have produced 4.0 and 3.75 ≠ 4)
+    g = got.set_index("day")["ma7"]
+    assert g["2024-03-14"] == 3.0 and g["2024-03-15"] == 4.0
