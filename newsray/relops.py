@@ -1394,7 +1394,7 @@ def user_activity_full(sf_dir: str):
     side folds to per-batch (key, n) count partials, both sides hash-bucket
     by key, and the per-bucket fold is one vectorized partial sum + OUTER
     merge with an indicator for the two presence flags."""
-    from .tabular import from_pandas_clean, n_buckets
+    from .tabular import n_buckets
 
     ev = read(sf_dir, "events", ["user_id"])
     cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
@@ -1438,16 +1438,8 @@ def user_activity_full(sf_dir: str):
         )
         cup = g.loc[g["iscust"] == 1, ["key", "acct"]]
         m = evp.merge(cup, on="key", how="outer", indicator=True)
-        if len(m) == 0:
-            return pa.Table.from_pydict(
-                {
-                    "ukey": pa.array([], pa.int64()),
-                    "n_events": pa.array([], pa.int64()),
-                    "acctbal": pa.array([], pa.float64()),
-                    "has_events": pa.array([], pa.bool_()),
-                    "is_customer": pa.array([], pa.bool_()),
-                }
-            )
+        # (m is never empty: map_groups only sees non-empty groups, and any
+        # group row lands in evp or cup)
         return pa.Table.from_pydict(
             {
                 "ukey": pa.array(m["key"].to_numpy(np.int64), pa.int64()),
@@ -1508,10 +1500,14 @@ def daily_events_7d_ma(sf_dir: str):
 
     ds = read(sf_dir, "events", ["ts"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        vc = b["ts"].dt.strftime("%Y-%m-%d").value_counts()
-        return pd.DataFrame(
-            {"day": vc.index.to_numpy(), "pn": vc.to_numpy().astype("int64")}
+    def partial(b: pd.DataFrame) -> pa.Table:
+        from .tabular import day_str, from_pandas_clean
+
+        vc = pd.Series(day_str(b["ts"])).value_counts()
+        return from_pandas_clean(
+            pd.DataFrame(
+                {"day": vc.index.to_numpy(), "pn": vc.to_numpy().astype("int64")}
+            )
         )
 
     daily = (

@@ -599,7 +599,10 @@ def test_daily_ma_calendar_gaps(ray_session, tmp_path):
     )
     want = _normalize(con.execute(ORACLE_SQL["daily_events_7d_ma"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-    # the post-gap windows really exclude pre-gap days: 14 → avg(3)=3,
-    # 15 → avg(3,5)=4 (a ROWS frame would have produced 4.0 and 3.75 ≠ 4)
+    # the post-gap window really excludes pre-gap days: day 14 → avg(3)=3.0,
+    # where a ROWS-7 frame reaching across the gap would give
+    # avg(4,2,6,3)=3.75 — THIS is the discriminating assertion (at day 15
+    # both frames happen to give 4.0)
     g = got.set_index("day")["ma7"]
-    assert g["2024-03-14"] == 3.0 and g["2024-03-15"] == 4.0
+    assert g["2024-03-14"] == 3.0
+    assert g["2024-03-15"] == 4.0
